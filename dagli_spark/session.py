@@ -1,0 +1,80 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Defaults chosen for a large multi-executor cluster but testable on
+local[N]:
+
+- AQE on (runtime coalesce / skew-join splitting),
+- Arrow on (all heavy Python work is vectorized pandas UDFs — the reference
+  streams fixed-size row batches between nodes,
+  core/.../dag/MultithreadedDAGExecutor.java:48-72; Arrow record batches are
+  the columnar analogue),
+- UTC session timezone (temporal semantics must not depend on host TZ),
+- shuffle partitions default to 2x cores locally (the reference's
+  "2 x logical cores" worker default, core/.../dag/LocalDAGExecutor.java:14);
+  on a real cluster leave spark.sql.shuffle.partitions to AQE's coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size mirrors the reference's 5000-row training batches
+# (core/.../dag/MultithreadedDAGExecutor.java:72).
+ARROW_BATCH_ROWS = 5000
+
+
+def get_spark(
+    app_name: str = "dagli_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster master is configured — on a real cluster, pass
+    ``master=None`` with a pre-configured environment and this is a no-op.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        try:
+            cores = int(n) if n != "*" else (os.cpu_count() or 8)
+        except ValueError:
+            cores = 32
+        shuffle_partitions = max(8, 2 * cores)
+
+    conf = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(ARROW_BATCH_ROWS),
+        # Deterministic float behavior for allclose parity: no ANSI surprises.
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        "spark.ui.enabled": "false",
+        "spark.driver.extraJavaOptions": "-Djava.net.preferIPv4Stack=true",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_all() -> None:
+    """Stop the active session if any (used between parallelism-grid tests)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
