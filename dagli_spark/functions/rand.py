@@ -1,0 +1,42 @@
+"""Deterministic hash-derived randomness.
+
+The reference's RandomDouble is a pure function of (seed, exampleIndex)
+backed by stateless hash RNGs
+(/root/reference/core/src/main/java/com/linkedin/dagli/generator/RandomDouble.java:10-21,
+math-hashing/.../DoubleXorShift.java, MurmurHash3.java:34). We reproduce the
+*contract* (quasi-determinism: same key + seed -> same value at any
+parallelism, documentation/transformers.md:11-17) with Spark's built-in
+xxhash64 — NOT the same hash family, so values differ from Java; parity
+tests pin OUR outputs. Never use F.rand(): it is partition-order dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_MASK53 = (1 << 53) - 1
+
+
+def random_double(key: Column | str, seed: int = 0) -> Column:
+    """Deterministic U[0,1) from (seed, key). 53-bit mantissa precision."""
+    h = F.xxhash64(F.lit(seed), key)
+    return (h.bitwiseAND(F.lit(_MASK53))).cast("double") / F.lit(float(1 << 53))
+
+
+def random_long(key: Column | str, seed: int = 0) -> Column:
+    return F.xxhash64(F.lit(seed), key)
+
+
+def sample_segment(key: Column | str, lo: float, hi: float, seed: int = 0) -> Column:
+    """Deterministic [lo, hi) segment sampling predicate — the reference's
+    SampleReader/SampleSegment (objectio-core/.../SampleReader.java:8-11)."""
+    u = random_double(key, seed)
+    return (u >= F.lit(lo)) & (u < F.lit(hi))
+
+
+def shuffle_key(key: Column | str, seed: int = 0) -> Column:
+    """Order-by key for a full deterministic shuffle — the scalable analogue
+    of LazyShuffledBufferReader's partial K-buffer shuffle
+    (objectio-core/.../LazyShuffledBufferReader.java:9-14)."""
+    return F.xxhash64(F.lit(seed), key)

@@ -1,0 +1,136 @@
+"""Text/caption functions — the reference's `text` module re-expressed as
+Catalyst expressions (JVM-side; no Python in the hot path).
+
+Reference family (see SURVEY.md §2.9): LowerCased, ReplacedRegex,
+MatchesRegex, ContainsSubstring, SubstringCount, Tokens,
+NgramVector/NgramHashes, CharacterNgramVector
+(/root/reference/text/src/main/java/com/linkedin/dagli/text/*.java,
+common/.../list/NgramVector.java:10-16).
+
+Plus the training-data-pipeline analytics the engine adds as first-class
+ops: language ID (stopword-hit heuristic), quality scoring, token counting,
+rolling-hash document fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+lower_cased = F.lower          # text/.../LowerCased.java:15
+replaced_regex = F.regexp_replace  # text/.../ReplacedRegex.java:15
+
+
+def matches_regex(col, pattern: str) -> Column:
+    """text/.../MatchesRegex.java:14"""
+    return F.col(col).rlike(pattern) if isinstance(col, str) else col.rlike(pattern)
+
+
+def contains_substring(col, sub: str) -> Column:
+    """text/.../ContainsSubstring.java:15"""
+    return F.contains(col, F.lit(sub))
+
+
+def substring_count(col, sub: str) -> Column:
+    """text/.../SubstringCount.java:15 — non-overlapping occurrence count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return ((F.length(c) - F.length(F.replace(c, F.lit(sub), F.lit("")))) /
+            F.length(F.lit(sub))).cast("int")
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def contains_email(col) -> Column:
+    """text/.../ContainsEmailAddress.java:14"""
+    return matches_regex(col, EMAIL_RE)
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenizer returning array<string> without empties.
+    (Crude fallback for the reference's JFlex locale-aware Tokens,
+    text-tokenization/.../Tokens.java:14-40 — locale-aware variants belong
+    in an Arrow UDF with per-executor tokenizer cache.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def word_ngrams(col, n: int) -> Column:
+    """array of space-joined word n-grams (common/.../list/NgramVector.java:10-16).
+    Pure Catalyst: slide a transform over the token array."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_hashes(col, n: int, *, seed: int = 0) -> Column:
+    """Hashed word-ngram ids (NgramHashes,
+    common/.../list/NgramHashes.java:20) — xxhash64 family, documented as a
+    different hash family than the reference's MurmurHash3
+    (math-hashing/.../MurmurHash3.java:34); parity tests pin ours."""
+    return F.transform(word_ngrams(col, n), lambda g: F.xxhash64(F.lit(seed), g))
+
+
+def char_ngrams(col, n: int) -> Column:
+    """Character n-grams (text/.../CharacterNgramVector.java:22)."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.length(c) - n + 1)
+    return F.when(
+        F.length(c) >= n, F.transform(idx, lambda i: F.substring(c, i, n))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ------------------------------------------------------- pipeline analytics
+
+# A small fixed stopword inventory per language for the n-gram/stopword
+# language-ID heuristic (public-knowledge function words).
+_LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en"],
+}
+
+
+def lang_id_heuristic(col) -> Column:
+    """Pick the language whose stopwords hit the most tokens; 'und'
+    (undetermined) when nothing hits. Pure Catalyst (array_intersect over
+    the token array)."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    scores = F.array(*[
+        F.struct(
+            F.size(F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in ws]))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in _LANG_STOPWORDS.items()
+    ])
+    best = F.array_max(scores)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(col) -> Column:
+    """Heuristic document quality in [0,1]: penalize extreme shortness,
+    high punctuation ratio, and high digit ratio. Deterministic, JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    punct = (n - F.length(F.regexp_replace(c, r"[^\w\s]", ""))).cast("double")
+    digits = (n - F.length(F.regexp_replace(c, r"[0-9]", ""))).cast("double")
+    len_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct / F.greatest(n, F.lit(1.0)) * 5, F.lit(1.0))
+    digit_score = F.lit(1.0) - F.least(digits / F.greatest(n, F.lit(1.0)) * 5, F.lit(1.0))
+    return (len_score * punct_score * digit_score).alias("quality")
+
+
+def fingerprint(col, *, seed: int = 0) -> Column:
+    """64-bit document fingerprint: xxhash64 of the normalized token stream
+    (rolling-hash analogue; exact-dedup key)."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    return F.xxhash64(F.lit(seed), F.array_join(toks, " "))

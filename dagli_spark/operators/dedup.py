@@ -1,0 +1,183 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Scale stance: all methods are shuffle-bounded by the *candidate pair* set,
+never the full cross product —
+
+- exact: one groupBy on the fingerprint (map-side combine).
+- MinHash+LSH: shingles -> P minhashes -> B bands; rows sharing a band
+  bucket hash are candidates (self-join per band key), candidate pairs are
+  then verified with true Jaccard. Shuffle = rows x B band keys.
+- SimHash: 64-bit rotation-banded buckets with Hamming verification.
+- n-gram Jaccard: token-prefix blocking + exact Jaccard on candidates.
+- embedding cosine: see dagli_spark.operators.similarity (LSH-bucketed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dagli_spark.functions.text import fingerprint, tokens, word_ngrams
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, *, normalized: bool = True
+) -> DataFrame:
+    """Keep one row per distinct (normalized) text — the min id wins
+    (deterministic). Single hash-aggregate: at 100 TB the 64-bit
+    fingerprint groups instead of the full text bytes, so the shuffle
+    carries 8-byte keys."""
+    key = fingerprint(text_col) if normalized else F.xxhash64(F.col(text_col))
+    w = df.withColumn("__fp", key)
+    keep = w.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return w.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
+
+
+def _minhash_cols(toks, num_hashes: int, seed: int):
+    """P independent minhashes of the shingle set via seeded xxhash64."""
+    return [
+        F.array_min(F.transform(toks, lambda t, i=i: F.xxhash64(F.lit(seed + i), t)))
+        .alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str, id_col: str, *,
+    shingle: int = 3, num_hashes: int = 16, bands: int = 4,
+    threshold: float = 0.7, seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by MinHash LSH, verified with exact
+    shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= threshold."""
+    rows_per_band = num_hashes // bands
+    shingles = F.array_distinct(word_ngrams(text_col, shingle))
+    base = df.select(
+        F.col(id_col), shingles.alias("__sh"), *_minhash_cols(shingles, num_hashes, seed)
+    ).where(F.size("__sh") > 0)
+
+    band_keys = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_keys.append(F.xxhash64(F.lit(b), *cols))
+    # one row per (doc, band): shuffle = |docs| x bands, never |docs|^2
+    banded = base.select(
+        id_col, "__sh", F.explode(F.array(*band_keys)).alias("__band")
+    )
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.__band") == F.col("b.__band"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, *, out: str = "simhash",
+            seed: int = 11) -> DataFrame:
+    """64-bit SimHash of the token multiset, pure Catalyst: for each bit,
+    sign of the sum over tokens of (+1/-1 by that token's hash bit)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    h = F.transform(toks, lambda t: F.xxhash64(F.lit(seed), t))
+    bits = []
+    for i in range(64):
+        mask = F.shiftleft(F.lit(1).cast("long"), i)  # i=63 wraps to sign bit
+        contrib = F.transform(
+            h, lambda x, m=mask: F.when(x.bitwiseAND(m) != 0, 1).otherwise(-1)
+        )
+        s = F.aggregate(contrib, F.lit(0), lambda acc, v: acc + v)
+        bits.append(F.when(s > 0, mask).otherwise(F.lit(0).cast("long")))
+    sim = bits[0]
+    for b in bits[1:]:
+        sim = sim.bitwiseOR(b)
+    return df.withColumn(out, sim)
+
+
+def hamming64(a, b):
+    return F.bit_count((F.col(a) if isinstance(a, str) else a).bitwiseXOR(
+        F.col(b) if isinstance(b, str) else b))
+
+
+def simhash_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 3,
+    seed: int = 11,
+) -> DataFrame:
+    """Near-dup pairs with simhash Hamming distance <= max_hamming.
+    Banding: split the 64-bit hash into (max_hamming+1) 16-bit blocks —
+    any pair within distance max_hamming shares at least one exact block
+    (pigeonhole), so candidates = per-block equi-join, never a cross join."""
+    blocks = max_hamming + 1
+    width = 64 // blocks
+    sh = simhash(df.select(id_col, text_col), text_col, seed=seed)
+    keyed = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright("simhash", i * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+            ) for i in range(blocks)
+        ])).alias("bk"),
+    ).select(id_col, "simhash", "bk.blk", "bk.key")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.key") == F.col("b.key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
+    ).dropDuplicates(["id_a", "id_b"])
+    return (
+        cand.withColumn("hamming", hamming64("sh_a", "sh_b"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def jaccard_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, *, n: int = 3,
+    threshold: float = 0.8, block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs with optional blocking column
+    (e.g. source/language/length-bucket) to bound the join. With no
+    block_col this is quadratic per partition — only for oracle-scale
+    verification; use minhash_lsh_pairs at scale."""
+    sh = F.array_distinct(word_ngrams(text_col, n))
+    base = df.select(F.col(id_col), sh.alias("__sh"),
+                     *( [F.col(block_col)] if block_col else [] ))
+    base = base.where(F.size("__sh") > 0)
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    a, b = base.alias("a"), base.alias("b")
+    cand = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.__sh").alias("sh_a"), F.col("b.__sh").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Drop the higher-id member of every dup pair (transitive-lite
+    canonicalization: a doc survives iff it is not the b-side of any pair)."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

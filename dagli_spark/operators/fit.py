@@ -1,0 +1,232 @@
+"""Dagli-style *preparable* transformers: fit pass -> fitted state -> apply.
+
+In the reference a PreparableTransformer's Preparer consumes all rows and
+emits a PreparedTransformer
+(/root/reference/core/src/main/java/com/linkedin/dagli/transformer/PreparableTransformer.java:31,
+documentation/dag.md:83). On Spark the fit pass is an aggregation job whose
+(small) fitted state is either broadcast back into the plan as a join/map or
+collected into literals — the exact analogue of Dagli's TransformerView
+fanning fitted state out as a constant input
+(core/.../view/TransformerView.java:22).
+
+Every fitted model here is a plain picklable object with
+``state_table(spark)`` (its state as a DataFrame, for checkpointing) and
+``apply(df)`` (attach the derived column, broadcast-joining the state).
+Scale stance: fit = one shuffle on the value column (map-side partial
+aggregation via groupBy), state is dictionary-sized, apply = broadcast hash
+join — no second shuffle of the fact table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- Index
+
+@dataclass
+class IndexModel:
+    """Fitted dictionary: value -> dense id, ids ordered by
+    (count desc, value asc) — deterministic (reference quasi-determinism,
+    documentation/transformers.md:11-17).
+
+    Reference: Index / AbstractIndex / UnknownItemPolicy
+    (common/.../object/Index.java:9-23, AbstractIndex.java, UnknownItemPolicy.java:52).
+    """
+    col: str
+    mapping: DataFrame  # columns: value, id
+    unknown_id: int
+
+    def apply(self, df: DataFrame, *, out: str | None = None) -> DataFrame:
+        out = out or f"{self.col}_index"
+        m = F.broadcast(self.mapping.withColumnRenamed("value", self.col)
+                        .withColumnRenamed("id", out))
+        joined = df.join(m, on=self.col, how="left")
+        return joined.withColumn(out, F.coalesce(F.col(out), F.lit(self.unknown_id)))
+
+
+def fit_index(
+    df: DataFrame, col: str, *, min_freq: int = 1, max_unique: int | None = None,
+    unknown_id: int = -1,
+) -> IndexModel:
+    counts = df.groupBy(F.col(col).alias("value")).count()
+    if min_freq > 1:
+        counts = counts.where(F.col("count") >= min_freq)
+    w = Window.orderBy(F.col("count").desc(), F.col("value").asc())
+    ranked = counts.withColumn("id", F.row_number().over(w) - 1)
+    if max_unique is not None:
+        ranked = ranked.where(F.col("id") < max_unique)
+    return IndexModel(col, ranked.select("value", "id"), unknown_id)
+
+
+# ---------------------------------------------------------------- Multiplicity / Multiset
+
+def multiplicity(df: DataFrame, col: str, *, out: str | None = None) -> DataFrame:
+    """Per-row count of this row's value across the dataset
+    (common/.../object/Multiplicity.java:15-38). groupBy + broadcast join —
+    one shuffle of the (small) distinct values, not of the fact table."""
+    out = out or f"{col}_multiplicity"
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias(out))
+    return df.join(F.broadcast(counts), on=col, how="left")
+
+
+def multiset(df: DataFrame, col: str) -> DataFrame:
+    """Global value -> count map (common/.../map/Multiset.java:14-24)."""
+    return df.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("count"))
+
+
+# ---------------------------------------------------------------- Min/Max & order statistics
+
+def fit_min_max(df: DataFrame, col: str) -> tuple:
+    """Global min/max (common/.../object/Max.java:7-16, Min.java:16)."""
+    row = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).first()
+    return row["mn"], row["mx"]
+
+
+def order_statistic(df: DataFrame, col: str, quantiles: list[float]) -> list[float]:
+    """Exact interpolated quantiles (common/.../object/OrderStatistic.java:25-33).
+    Uses Spark's exact `percentile` aggregate (sort-based) — use
+    `percentile_approx` at extreme scale."""
+    row = df.agg(
+        F.expr(f"percentile({col}, array({','.join(str(q) for q in quantiles)}))")
+        .alias("qs")
+    ).first()
+    return list(row["qs"])
+
+
+# ---------------------------------------------------------------- Rank
+
+@dataclass
+class RankModel:
+    """Rank of a probe value among the fitted population
+    (common/.../object/Rank.java:17-28): number of fitted values strictly
+    smaller. State = sorted value counts; apply = broadcast range join via a
+    cumulative-count lookup (no driver collect needed at scale)."""
+    col: str
+    cumulative: DataFrame  # value, below = #fitted strictly below value
+
+    def apply(self, df: DataFrame, *, out: str | None = None) -> DataFrame:
+        out = out or f"{self.col}_rank"
+        c = F.broadcast(self.cumulative)
+        # rank(probe) = below(largest fitted value <= probe) + (probe > that value ? count_at : 0)
+        # simpler exact formulation: join on value when present; else range lookup.
+        probe = df
+        j = probe.join(
+            c.select(F.col("value").alias(self.col), F.col("below"),
+                     F.col("cnt")),
+            on=self.col, how="left",
+        )
+        # exact-match probes rank = below; non-matching probes need the
+        # range fallback: below of the greatest fitted value < probe + its cnt
+        fallback = c.select(
+            F.col("value").alias("__rv"),
+            (F.col("below") + F.col("cnt")).alias("__rank_after"),
+        )
+        missing = j.where(F.col("below").isNull()).drop("below", "cnt")
+        if missing.isEmpty():
+            return j.withColumn(out, F.col("below")).drop("below", "cnt")
+        matched = j.where(F.col("below").isNotNull()) \
+            .withColumn(out, F.col("below")).drop("below", "cnt")
+        mj = missing.join(
+            F.broadcast(fallback), F.col(self.col) > F.col("__rv"), "left"
+        ).groupBy(*missing.columns).agg(
+            F.coalesce(F.max("__rank_after"), F.lit(0)).alias(out)
+        )
+        return matched.unionByName(mj)
+
+
+def fit_rank(df: DataFrame, col: str) -> RankModel:
+    counts = df.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.withColumn("below", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    return RankModel(col, cum.select("value", "below", "cnt"))
+
+
+# ---------------------------------------------------------------- BucketIndex (equi-depth DP)
+
+@dataclass
+class BucketModel:
+    """Equi-depth bucket boundaries; out-of-range probes clamp to the
+    first/last bucket (common/.../object/BucketIndex.java:28-40)."""
+    col: str
+    boundaries: list  # ascending upper-inclusive bounds of buckets 0..k-2
+
+    def apply(self, df: DataFrame, *, out: str | None = None) -> DataFrame:
+        out = out or f"{self.col}_bucket"
+        expr = F.lit(len(self.boundaries))  # default: last bucket
+        for i in range(len(self.boundaries) - 1, -1, -1):
+            expr = F.when(F.col(self.col) <= F.lit(self.boundaries[i]), F.lit(i)) \
+                .otherwise(expr)
+        return df.withColumn(out, expr)
+
+
+def fit_bucket_index(df: DataFrame, col: str, k: int) -> BucketModel:
+    """Dagli's BucketIndex fit: choose bucket boundaries over the DISTINCT
+    value histogram minimizing the squared deviation from equal fill
+    (BucketIndex.java:28-40 does this with DP). The distinct-value histogram
+    is dictionary-sized, so the DP runs on the driver in numpy — the scan
+    itself is one distributed groupBy."""
+    import numpy as np
+
+    hist = (
+        df.groupBy(F.col(col).alias("v")).count().orderBy("v").collect()
+    )
+    vals = [r["v"] for r in hist]
+    cnts = np.array([r["count"] for r in hist], dtype=np.float64)
+    n = len(vals)
+    if n <= k:
+        return BucketModel(col, vals[:-1] if n > 1 else [])
+    total = cnts.sum()
+    target = total / k
+    prefix = np.concatenate([[0.0], np.cumsum(cnts)])
+    # DP over (distinct values, buckets): cost = (fill - target)^2
+    INF = float("inf")
+    dp = np.full((n + 1, k + 1), INF)
+    back = np.zeros((n + 1, k + 1), dtype=np.int64)
+    dp[0, 0] = 0.0
+    for j in range(1, k + 1):
+        for i in range(j, n + 1):
+            fills = prefix[i] - prefix[j - 1:i]
+            costs = dp[j - 1:i, j - 1] + (fills - target) ** 2
+            b = int(np.argmin(costs))
+            dp[i, j] = costs[b]
+            back[i, j] = j - 1 + b
+    bounds = []
+    i = n
+    for j in range(k, 1, -1):
+        i = int(back[i, j])
+        bounds.append(vals[i - 1])
+    return BucketModel(col, sorted(bounds))
+
+
+# ---------------------------------------------------------------- KFold / group routing
+
+def kfold_column(df: DataFrame, group_col: str, k: int, *, seed: int = 0,
+                 out: str = "fold", method: str = "xxhash64") -> DataFrame:
+    """Assign each row's group to one of k folds by hashing the group value —
+    the reference's leakage-safe split (KFoldCrossTrained hashes the group,
+    common/.../meta/KFoldCrossTrained.java:44-49,63). No group ever crosses
+    folds. ``method='lcg'`` uses a Knuth multiplicative hash expressible in
+    portable SQL (used by the DuckDB oracle); 'xxhash64' is the engine
+    default."""
+    if method == "xxhash64":
+        h = F.xxhash64(F.col(group_col), F.lit(seed))
+    elif method == "lcg":
+        h = (F.col(group_col).cast("long") * F.lit(2654435761)) % F.lit(2**32)
+    else:
+        raise ValueError(method)
+    return df.withColumn(out, F.pmod(h, F.lit(k)).cast("int"))
+
+
+# ---------------------------------------------------------------- NullFiltered
+
+def null_filtered_fit(df: DataFrame, input_cols: list[str], fit_fn):
+    """Fit a wrapped preparable only on rows where no input is null
+    (common/.../meta/NullFiltered.java:26-52); the caller's apply should
+    null-out results for rows with null inputs (Dagli still emits one result
+    per row — documentation/dag.md:12-13)."""
+    clean = df.na.drop(subset=input_cols)
+    return fit_fn(clean)

@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`knn_bruteforce` — exact cosine top-k via broadcast join; the
+  baseline and the oracle-checkable path (probe set is small, corpus is
+  streamed — no shuffle of the corpus at all).
+- :func:`knn_lsh` — random-hyperplane LSH bucketing: corpus and probes
+  hash into sign-pattern buckets; candidates = bucket equi-join (shuffle
+  bounded by bucket sizes), verified with exact cosine. The scale path for
+  probe sets too large to broadcast.
+- :func:`embedding_dup_pairs` — near-duplicate pairs by cosine >= threshold
+  via the same LSH bucketing.
+
+Reference analogue: NearestVector (argmin distance vs a fixed candidate
+list, /root/reference/common/src/main/java/com/linkedin/dagli/vector/NearestVector.java:14-22)
+is exactly the broadcast-probe pattern of knn_bruteforce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dagli_spark.functions.vector import cosine, dot, norm
+
+
+def knn_bruteforce(
+    probes: DataFrame, corpus: DataFrame, *, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 10, exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each probe row against the corpus.
+
+    Plan shape: broadcast(probes) x corpus scan -> per-(probe,corpus) cosine
+    -> window top-k. The big side (corpus) is never shuffled before the
+    rank; only (|probes| x k)-sized results move."""
+    p = probes.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    joined = c.crossJoin(F.broadcast(p))
+    if exclude_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.withColumn("cosine", cosine("__qv", "__cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int):
+    """Deterministic pseudo-random hyperplanes from a seeded integer hash
+    (partition-count invariant; no numpy RNG state)."""
+    import numpy as np
+
+    # splitmix64-style generator, pure function of (seed, plane, coord)
+    off = (seed * 0x9E3779B97F4A7C15) % (1 << 64)  # wraparound intended
+    idx = np.arange(num_planes * dim, dtype=np.uint64) + np.uint64(off)
+    z = idx + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    u = z.astype(np.float64) / float(2**64)
+    return (u.reshape(num_planes, dim) * 2.0 - 1.0)
+
+
+def lsh_bucket(df: DataFrame, vec_col: str, dim: int, *,
+               num_planes: int = 8, seed: int = 13, out: str = "lsh_bucket") -> DataFrame:
+    """Sign-pattern bucket id from random hyperplanes — pure Catalyst
+    (the dot products unroll to JVM expressions over the array column)."""
+    planes = _hyperplanes(dim, num_planes, seed)
+    bucket = F.lit(0)
+    for p_i, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(F.when(d >= 0, F.lit(1 << p_i)).otherwise(F.lit(0)))
+    return df.withColumn(out, bucket)
+
+
+def knn_lsh(
+    probes: DataFrame, corpus: DataFrame, dim: int, *, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 10, num_planes: int = 6,
+    num_tables: int = 4, seed: int = 13,
+) -> DataFrame:
+    """Approximate top-k: candidates = rows sharing an LSH bucket in ANY of
+    ``num_tables`` independent hash tables, then exact cosine + window
+    top-k. Candidate shuffle is bounded by bucket occupancy — the IVF-style
+    scale path."""
+    def keyed(df, side):
+        parts = []
+        for t in range(num_tables):
+            b = lsh_bucket(df, vec_col, dim, num_planes=num_planes,
+                           seed=seed + 101 * t, out="__b")
+            parts.append(b.select(
+                F.col(id_col).alias(f"{side}_id"),
+                F.col(vec_col).alias(f"__{side}v"),
+                F.concat(F.lit(t * 1000), F.col("__b")).cast("long").alias("__tb"),
+            ))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    pk = keyed(probes, "query")
+    ck = keyed(corpus, "neighbor")
+    cand = (
+        pk.join(ck, "__tb")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cosine", cosine("__queryv", "__neighborv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame, dim: int, *, id_col: str = "vec_id",
+    vec_col: str = "embedding", threshold: float = 0.95,
+    num_planes: int = 8, num_tables: int = 4, seed: int = 17,
+) -> DataFrame:
+    """Near-duplicate (id_a < id_b, cosine >= threshold) pairs via LSH
+    candidate generation + exact verification."""
+    parts = []
+    for t in range(num_tables):
+        b = lsh_bucket(df, vec_col, dim, num_planes=num_planes,
+                       seed=seed + 101 * t, out="__b")
+        parts.append(b.select(
+            id_col, F.col(vec_col).alias("__v"),
+            F.concat(F.lit(t * 1000), F.col("__b")).cast("long").alias("__tb"),
+        ))
+    keyed = parts[0]
+    for p in parts[1:]:
+        keyed = keyed.unionByName(p)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = a.join(
+        b, (F.col("a.__tb") == F.col("b.__tb"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.__v").alias("va"), F.col("b.__v").alias("vb"),
+    ).dropDuplicates(["id_a", "id_b"])
+    return (
+        cand.withColumn("cosine", cosine("va", "vb"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
