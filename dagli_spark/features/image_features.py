@@ -1,0 +1,110 @@
+"""Image featurizers over the binary ``bytes`` column.
+
+All heavy per-row work is Arrow-batched (``mapInPandas`` iterator form —
+init once per task, process record batches), never row-at-a-time Python:
+this is the Spark shape of the reference's stateful minibatched transformer
+API (AbstractPreparedStatefulTransformerX: createExecutionCache +
+preferredMinibatchSize + bulk applyAllUnsafe,
+/root/reference/core/src/main/java/com/linkedin/dagli/transformer/internal/PreparedTransformerInternalAPI.java:96-165),
+which is exactly how the reference wraps heavy models like XGBoost
+(SURVEY.md §2.13).
+
+Column-pruning contract: call :func:`with_decode_features` as late as
+possible and only on rows that need pixels — upstream stages must never
+select ``bytes`` (Parquet then skips the fat column entirely).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from dagli_spark.images.codec import decode_image
+from dagli_spark.images.phash import phash64
+
+DECODE_FIELDS = [
+    StructField("px_mean_r", DoubleType()),
+    StructField("px_mean_g", DoubleType()),
+    StructField("px_mean_b", DoubleType()),
+    StructField("px_std", DoubleType()),
+    StructField("px_brightness", DoubleType()),
+    StructField("px_edge_energy", DoubleType()),
+    StructField("phash_check", LongType()),
+]
+
+
+def _decode_one(data: bytes) -> tuple:
+    arr = decode_image(data)
+    f = arr.astype(np.float64)
+    means = f.mean(axis=(0, 1))
+    std = float(f.std())
+    bright = float(means.mean())
+    gray = f.mean(axis=2)
+    gx = np.abs(np.diff(gray, axis=1)).mean()
+    gy = np.abs(np.diff(gray, axis=0)).mean()
+    return (
+        float(means[0]), float(means[1]), float(means[2]),
+        std, bright, float(gx + gy), phash64(arr),
+    )
+
+
+def with_decode_features(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Decode + pixel statistics + recomputed phash, appended to every row.
+
+    mapInPandas iterator-of-batches: per-task constants are initialized
+    once; each Arrow batch is processed as a unit."""
+    out_schema = StructType(list(df.schema.fields) + DECODE_FIELDS)
+    names = [f.name for f in DECODE_FIELDS]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            feats = [
+                _decode_one(b) if b is not None else (None,) * len(names)
+                for b in pdf[bytes_col]
+            ]
+            fdf = pd.DataFrame(feats, columns=names, index=pdf.index)
+            yield pd.concat([pdf, fdf], axis=1)
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def phash_embedding_col(phash_col: str = "phash") -> F.Column:
+    """64-dim ±1.0 float embedding from the phash bits — pure Catalyst
+    (no Python): the 'phash-derived embedding' of the north star, usable
+    by every downstream vector op without touching pixels."""
+    return F.expr(
+        f"transform(sequence(0, 63), "
+        f"i -> cast(cast(shiftright({phash_col}, i) & 1 as float) * 2.0 - 1.0 "
+        f"as float))"
+    ).cast(ArrayType(FloatType()))
+
+
+def phash_hamming_col(a: str, b) -> F.Column:
+    """Hamming distance between two phash columns (JVM bit_count)."""
+    bc = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(F.col(a).bitwiseXOR(bc))
+
+
+def psnr_check_udf(df: DataFrame, bytes_col: str, ref_phash_col: str) -> DataFrame:
+    """Audit stage: recompute phash from bytes and compare with the stored
+    column — the decoded-pixel parity gate of the input_hint (PSNR>=40dB is
+    asserted at encode time for the lossy path; here we verify the hash)."""
+    out = with_decode_features(df.select(bytes_col, ref_phash_col), bytes_col)
+    return out.select(
+        (F.col("phash_check") == F.col(ref_phash_col)).alias("phash_ok")
+    )

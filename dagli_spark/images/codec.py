@@ -1,0 +1,152 @@
+"""Pure-numpy image codecs (no PIL/libjpeg/libpng in this environment).
+
+- ``png``: REAL PNG (8-bit RGB, zlib DEFLATE, filters 0-4 on decode,
+  filter 0 on encode) — interoperable with any PNG reader; lossless, so
+  decoded-pixel parity is exact.
+- ``jpeg``: **deterministic lossy STAND-IN** (documented stub): the
+  container has no JPEG codec, so ``fmt='jpeg'`` bytes here are a
+  quantize+DEFLATE format ("QJPG") that reproduces JPEG's *contract* for
+  the pipeline — lossy, quality-parameterized, PSNR >= 40 dB at q90
+  (BASELINE.json input_hint) — with a magic header so a real libjpeg
+  implementation can be swapped in behind the same encode/decode API.
+  Swapping requires only replacing _encode_qjpg/_decode_qjpg.
+
+All functions are numpy-vectorizable per Arrow batch; none require Spark.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_QJPG_SIG = b"QJPG"
+
+
+# ------------------------------------------------------------------- PNG
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """8-bit RGB PNG, filter type 0 per scanline."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = arr.reshape(h, w * 3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(a, b, c):
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    assert data[:8] == _PNG_SIG, "not a PNG"
+    pos, w = 8, 0
+    idat = []
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            assert depth == 8 and ctype == 2, "only 8-bit RGB supported"
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = 1 + w * 3
+    raw = raw.reshape(h, stride)
+    out = np.zeros((h, w * 3), dtype=np.uint8)
+    bpp = 3
+    for y in range(h):
+        f, line = raw[y, 0], raw[y, 1:].copy()
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub
+            for x in range(bpp, w * 3):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+            out[y] = line
+        elif f == 2:  # Up
+            out[y] = (line + (out[y - 1] if y else 0)) & 0xFF
+        elif f == 3:  # Average
+            prev = out[y - 1] if y else np.zeros(w * 3, np.uint8)
+            for x in range(w * 3):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+            out[y] = line
+        elif f == 4:  # Paeth
+            prev = out[y - 1] if y else np.zeros(w * 3, np.uint8)
+            for x in range(w * 3):
+                a = line[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + int(_paeth(np.uint8(a), prev[x], np.uint8(c)))) & 0xFF
+            out[y] = line
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    return out.reshape(h, w, 3)
+
+
+# ------------------------------------------------------- QJPG (lossy stub)
+
+def _quant_step(quality: int) -> int:
+    # q90 -> step 4 (max error 2 per channel -> PSNR ~42-48 dB), q50 -> 16
+    return max(1, int(round((100 - quality) * 0.4)))
+
+
+def encode_qjpg(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Deterministic lossy stand-in for JPEG (see module docstring)."""
+    h, w, c = arr.shape
+    step = _quant_step(quality)
+    q = (arr.astype(np.int32) + step // 2) // step
+    q = np.clip(q, 0, 255 // step + 1).astype(np.uint8)
+    head = _QJPG_SIG + struct.pack(">IIBB", w, h, quality, c)
+    return head + zlib.compress(q.tobytes(), 6)
+
+
+def decode_qjpg(data: bytes) -> np.ndarray:
+    assert data[:4] == _QJPG_SIG, "not a QJPG"
+    w, h, quality, c = struct.unpack(">IIBB", data[4:14])
+    step = _quant_step(quality)
+    q = np.frombuffer(zlib.decompress(data[14:]), dtype=np.uint8)
+    arr = np.clip(q.astype(np.int32) * step, 0, 255).astype(np.uint8)
+    return arr.reshape(h, w, c)
+
+
+# ------------------------------------------------------------- unified API
+
+def encode_image(arr: np.ndarray, fmt: str, quality: int = 90) -> bytes:
+    if fmt == "png":
+        return encode_png(arr)
+    if fmt == "jpeg":
+        return encode_qjpg(arr, quality)
+    raise ValueError(f"unsupported fmt {fmt!r}")
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    if data[:8] == _PNG_SIG:
+        return decode_png(bytes(data))
+    if data[:4] == _QJPG_SIG:
+        return decode_qjpg(bytes(data))
+    raise ValueError("unknown image container")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 ** 2 / mse)

@@ -40,7 +40,20 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+
+    # Python workers must be able to import this package regardless of the
+    # driver's cwd (the spark-submit equivalent is --py-files); prepend the
+    # repo root to PYTHONPATH before the JVM forks workers.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     builder = SparkSession.builder.appName(app_name).master(master)
+    builder = builder.config("spark.executorEnv.PYTHONPATH",
+                             os.environ["PYTHONPATH"])
 
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"

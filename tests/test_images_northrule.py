@@ -1,0 +1,221 @@
+"""Image codec, phash parity, and the north-rule pipeline: feature parity
+vs a pandas oracle, zero-leakage proof (poison test), parallelism
+invariance, and PSNR gate for the lossy path."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dagli_spark.fixtures import materialize
+from dagli_spark.images.codec import (
+    decode_image,
+    encode_image,
+    encode_png,
+    decode_png,
+    encode_qjpg,
+    decode_qjpg,
+    psnr,
+)
+from dagli_spark.images.phash import hamming64_np, phash64, phash_to_vector
+from dagli_spark.northrule import (
+    FEATURE_NAMES,
+    build_features,
+    leakage_audit,
+)
+
+
+@pytest.fixture(scope="module")
+def paths(spark):
+    return materialize(spark, "smoke")
+
+
+# ------------------------------------------------------------- codec unit
+
+def test_png_roundtrip_exact():
+    rng = np.random.RandomState(7)
+    for shape in [(32, 32, 3), (64, 128, 3)]:
+        a = rng.randint(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(a)), a)
+
+
+def test_qjpg_psnr_gate():
+    """input_hint: PSNR >= 40 dB for the lossy path at q90."""
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+    d = decode_qjpg(encode_qjpg(a, 90))
+    assert psnr(a, d) >= 40.0
+
+
+def test_phash_properties():
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+    h1 = phash64(a)
+    # deterministic
+    assert phash64(a.copy()) == h1
+    # robust to mild lossy re-encode (the perceptual property)
+    lossy = decode_qjpg(encode_qjpg(a, 90))
+    assert int(hamming64_np(h1, phash64(lossy))[()]) <= 8
+    v = phash_to_vector(h1)
+    assert v.shape == (64,) and set(np.unique(v)) <= {-1.0, 1.0}
+
+
+def test_stored_phash_matches_bytes(spark, paths):
+    """FIXTURES §1: phash is the actual hash of the decoded bytes."""
+    img = spark.read.parquet(paths["images"]).limit(64).toPandas()
+    for _, r in img.iterrows():
+        assert phash64(decode_image(r["bytes"])) == r["phash"], r["image_id"]
+
+
+# ------------------------------------------------------------- pipeline
+
+def _run(spark, paths, **opts):
+    return build_features(
+        spark.read.parquet(paths["queries"]),
+        spark.read.parquet(paths["image_events"]),
+        spark.read.parquet(paths["images"]),
+        **opts,
+    )
+
+
+def _key(r):
+    return (r["entity_id"], str(r["asof_time"]), int(r["qseq"]))
+
+
+def test_feature_parity_vs_pandas_oracle(spark, paths):
+    """numpy-allclose parity of every feature vector against an independent
+    pandas implementation of the same semantics (the translation of the
+    reference's SimpleDAGExecutor single-threaded oracle,
+    core/.../dag/SimpleDAGExecutor.java:33-41)."""
+    out = _run(spark, paths).select(
+        "entity_id", "asof_time", "qseq", "feature_vector"
+    ).toPandas()
+
+    ev = spark.read.parquet(paths["image_events"]).toPandas()
+    img = spark.read.parquet(paths["images"]).toPandas().set_index("image_id")
+    qs = spark.read.parquet(paths["queries"]).toPandas()
+
+    ev = ev.merge(img[["phash"]], left_on="image_id", right_index=True)
+    ev = ev.sort_values(["entity_id", "event_time", "eseq"]).reset_index(drop=True)
+
+    # pandas oracle features per event
+    def per_entity(g):
+        g = g.copy()
+        g["label_lag1"] = g["label"].shift(1)
+        ph = g["phash"].to_numpy()
+        ham = np.full(len(g), -1.0)
+        if len(g) > 1:
+            ham[1:] = hamming64_np(ph[1:], ph[:-1]).astype(float)
+        g["hamming_prev"] = ham
+        g["label_avg5"] = g["label"].rolling(5, min_periods=1).mean()
+        es = (g["event_time"].astype("int64") // 10**9 // 1)  # ns -> s
+        g["epoch_s"] = (g["event_time"].astype("int64") // 10**6 // 10**3) // 1000
+        g["epoch_s"] = g["event_time"].astype("int64") // 10**9
+        cnt = np.array([
+            ((g["epoch_s"] >= t - 3600) & (g["epoch_s"] <= t)).sum()
+            for t in g["epoch_s"]
+        ])
+        g["cnt_1h"] = cnt.astype(float)
+        gap = g["event_time"].diff()
+        is_new = (gap > pd.Timedelta(minutes=30)) | gap.isna()
+        g["session_id"] = is_new.cumsum().astype(float) - 1
+        g["secs_since_prev"] = (g["epoch_s"].diff()).fillna(-1.0)
+        return g
+
+    ev = ev.groupby("entity_id", group_keys=False)[ev.columns].apply(per_entity)
+
+    checked = 0
+    for _, q in qs.iterrows():
+        hist = ev[(ev["entity_id"] == q["entity_id"])
+                  & (ev["event_time"] <= q["asof_time"])]
+        row = out[(out["entity_id"] == q["entity_id"])
+                  & (out["asof_time"] == q["asof_time"])
+                  & (out["qseq"] == q["qseq"])]
+        assert len(row) == 1, f"query row missing/dup: {q}"
+        vec = np.array(row.iloc[0]["feature_vector"], dtype=float)
+        if hist.empty:
+            assert np.isnan(vec[:7]).all(), f"expected NaN features: {q} {vec}"
+            continue
+        m = hist.sort_values(["event_time", "eseq"]).iloc[-1]
+        expected = [
+            m["label"],
+            m["label_lag1"] if pd.notna(m["label_lag1"]) else np.nan,
+            m["label_avg5"], m["cnt_1h"], m["session_id"],
+            float(m["secs_since_prev"]), m["hamming_prev"],
+        ]
+        got = vec[:7]
+        for name, e, g in zip(FEATURE_NAMES[:7], expected, got):
+            if pd.isna(e):
+                assert np.isnan(g), (q["entity_id"], name, e, g)
+            else:
+                assert np.isclose(e, g, rtol=1e-9, atol=1e-9), \
+                    (q["entity_id"], str(q["asof_time"]), name, e, g)
+        # pixel features match a direct decode of the matched image
+        arr = decode_image(img.loc[m["image_id"], "bytes"])
+        f = arr.astype(np.float64)
+        assert np.isclose(vec[7], f[..., 0].mean())
+        assert np.isclose(vec[10], f.std())
+        checked += 1
+    assert checked > 50
+
+
+def test_zero_leakage_poison(spark, paths):
+    """FIXTURES §5 leak_probe: poison every event strictly after each
+    query's asof_time — feature vectors must be identical."""
+    qs = spark.read.parquet(paths["queries"])
+    ev = spark.read.parquet(paths["image_events"])
+    img = spark.read.parquet(paths["images"])
+
+    base = build_features(qs, ev, img).select(
+        "entity_id", "asof_time", "qseq", "feature_vector"
+    )
+    # poison: any event AFTER the entity's max asof_time gets label + time-shifted
+    max_asof = qs.groupBy("entity_id").agg(F.max("asof_time").alias("mx"))
+    poisoned = (
+        ev.join(max_asof, "entity_id", "left")
+        .withColumn(
+            "label",
+            F.when(F.col("event_time") > F.col("mx"), F.lit(9999.0))
+            .otherwise(F.col("label")),
+        )
+        .drop("mx")
+    )
+    pois = build_features(qs, poisoned, img).select(
+        "entity_id", "asof_time", "qseq", "feature_vector"
+    )
+    a = sorted(map(str, base.collect()))
+    b = sorted(map(str, pois.collect()))
+    assert a == b
+
+    audit = leakage_audit(build_features(qs, ev, img))
+    assert audit["violations"] == 0 and audit["rows"] > 0
+
+
+def test_parallelism_invariance(spark, paths):
+    """DAGTest executor grid analogue: results identical at different
+    partition counts (core/.../dag/DAGTest.java:45-97)."""
+    qs = spark.read.parquet(paths["queries"])
+    ev = spark.read.parquet(paths["image_events"])
+    img = spark.read.parquet(paths["images"])
+    a = build_features(qs.repartition(3), ev.repartition(5), img,
+                       with_pixels=False)
+    b = build_features(qs.repartition(64), ev.repartition(37), img,
+                       with_pixels=False)
+    ra = sorted(str(r) for r in a.select("entity_id", "asof_time", "qseq",
+                                         "feature_vector").collect())
+    rb = sorted(str(r) for r in b.select("entity_id", "asof_time", "qseq",
+                                         "feature_vector").collect())
+    assert ra == rb
+
+
+def test_bucketed_path_matches(spark, paths):
+    qs = spark.read.parquet(paths["queries"])
+    ev = spark.read.parquet(paths["image_events"])
+    img = spark.read.parquet(paths["images"])
+    a = build_features(qs, ev, img, with_pixels=False)
+    b = build_features(qs, ev, img, with_pixels=False,
+                       time_buckets=8, bucket_width=F.lit(12 * 3600 * 1_000_000))
+    cols = ["entity_id", "asof_time", "qseq", "feature_vector"]
+    ra = sorted(str(r) for r in a.select(*cols).collect())
+    rb = sorted(str(r) for r in b.select(*cols).collect())
+    assert ra == rb
