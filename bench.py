@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + the north-rule feature job.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "feature_vectors_per_sec": N, "cpus": N}
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] cores (default 32)
+  BENCH_QUERIES       comma-list to restrict (default: headline set)
+
+Each query is materialized with the noop writer (computes every column —
+a bare count() would let Catalyst prune the feature columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "asof_strict",
+    "asof_bucketed",
+    "sessionize",
+    "rolling_rows",
+    "forward_fill",
+    "pricing_summary",
+    "region_revenue",
+    "top_tokens",
+    "exact_dedup",
+    "minhash_pairs",
+    "knn_bruteforce",
+    "northrule_features",
+]
+
+_FIXTURE_SCALE = {"sf0.001": "smoke", "sf0.01": "correctness", "sf0.1": "bench"}
+
+
+def _noop_write(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(sf_name.replace("sf", "") or 0.1) if sf_name.startswith("sf") else 0.1
+
+    from dagli_spark import get_spark
+    from dagli_spark.fixtures import SCALES, materialize
+    from dagli_spark.northrule import run as northrule_run
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("dagli-spark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    wanted = os.environ.get("BENCH_QUERIES")
+    names = wanted.split(",") if wanted else HEADLINE
+
+    scale = _FIXTURE_SCALE.get(sf_name, "correctness")
+    paths = materialize(spark, scale)  # cached one-time generation
+    n_queries = SCALES[scale][3]
+
+    qmap = entrymod.queries()
+    timings: dict[str, float] = {}
+    fv_per_sec = None
+
+    # one warmup pass at smoke scale: JIT + codegen + Python worker spin-up
+    # (steady-state throughput is the metric; cold-start is reported too)
+    warm_paths = materialize(spark, "smoke")
+    t0 = time.time()
+    _noop_write(northrule_run(spark, warm_paths))
+    cold_start_sec = round(time.time() - t0, 3)
+
+    for name in names:
+        t0 = time.time()
+        if name == "northrule_features":
+            df = northrule_run(spark, paths)
+            _noop_write(df)
+            dt = time.time() - t0
+            fv_per_sec = round(n_queries / dt, 1)
+        else:
+            _noop_write(qmap[name](spark, sf_dir))
+            dt = time.time() - t0
+        timings[name] = round(dt, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline suite wall time (asof+window+dedup+ann+northrule)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "feature_vectors_per_sec": fv_per_sec,
+        "northrule_scale": scale,
+        "northrule_queries": n_queries,
+        "warmup_smoke_sec": cold_start_sec,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

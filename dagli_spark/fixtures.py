@@ -251,6 +251,10 @@ SCALES = {
     "smoke": (1_000, 100, 4_000, 2_000),
     "correctness": (10_000, 1_000, 60_000, 30_000),
     "bench": (60_000, 6_000, 600_000, 300_000),
+    # compute-dominant tier for the N-vs-4N scaling-efficiency evidence
+    # (fixed scheduling overhead must be small against per-row work, as it
+    # is on a real cluster at 10^12 rows)
+    "scale": (240_000, 12_000, 2_400_000, 1_200_000),
 }
 
 

@@ -46,9 +46,27 @@ FEATURE_NAMES = [
 ]
 
 
-def event_features(events: DataFrame, images: DataFrame) -> DataFrame:
-    """Steps 1-2: per-event windowed features (no pixels touched)."""
-    dim = images.select("image_id", "phash")  # narrow projection -> prunable
+def image_stats(events: DataFrame, images: DataFrame) -> DataFrame:
+    """Decode-stage stats for every DISTINCT image referenced by events —
+    each image decoded exactly once, in one massively parallel Arrow-UDF
+    pass over the images scan (the distinct id set is broadcast onto it, so
+    the fat bytes column never crosses a shuffle)."""
+    needed = events.select("image_id").distinct()
+    to_decode = images.select("image_id", "bytes", "phash").join(
+        F.broadcast(needed), "image_id"
+    )
+    return with_decode_features(to_decode, "bytes").drop("bytes")
+
+
+def event_features(events: DataFrame, images: DataFrame,
+                   *, with_pixels: bool = True) -> DataFrame:
+    """Steps 1-2: per-event windowed features. With ``with_pixels`` the
+    per-image decode stats ride along from the start (computed once per
+    distinct image), so the whole pipeline is a single forward pass."""
+    if with_pixels:
+        dim = image_stats(events, images)
+    else:
+        dim = images.select("image_id", "phash")  # narrow -> prunable
     ev = events.join(dim, "image_id")
     w = wf.spec("entity_id", ["event_time", "eseq"])
     out = wf.with_lag(ev, "label", 1, w, alias="label_lag1")
@@ -76,6 +94,10 @@ def event_features(events: DataFrame, images: DataFrame) -> DataFrame:
     return out
 
 
+PX_COLS = ["px_mean_r", "px_mean_g", "px_mean_b", "px_std", "px_brightness",
+           "px_edge_energy"]
+
+
 def asof_features(
     queries: DataFrame, featured_events: DataFrame, *,
     strict: bool = False, time_buckets: int = 0, bucket_width=None,
@@ -83,6 +105,7 @@ def asof_features(
     """Step 3: attach the latest visible event's features to each query."""
     vals = ["image_id", "label", "label_lag1", "label_avg5", "cnt_1h",
             "session_id", "secs_since_prev", "hamming_prev"]
+    vals += [c for c in ("phash", *PX_COLS) if c in featured_events.columns]
     ev = featured_events.select(
         "entity_id", "event_time", "eseq",
         *[F.col(v).alias(f"ev_{v}") for v in vals],
@@ -97,55 +120,82 @@ def asof_features(
 
 
 def attach_pixel_features(asof_out: DataFrame, images: DataFrame) -> DataFrame:
-    """Step 4: decode only matched images. The bytes column enters the plan
-    here and nowhere else."""
+    """Step 4: decode only matched images — each DISTINCT image exactly once
+    (many queries share a matched image; decoding per query row would
+    multiply the Python-side work). The decoded-stats frame is
+    dictionary-sized, so it broadcast-joins back onto the query rows: the
+    fat ``bytes`` column enters the plan only inside the decode stage and
+    never crosses a shuffle attached to the fact table."""
     matched = asof_out.withColumnRenamed("ev_image_id", "image_id")
-    with_bytes = matched.join(
-        images.select("image_id", "bytes", "phash"), "image_id", "left"
-    )
-    return with_decode_features(with_bytes, "bytes").drop("bytes")
+    needed = matched.select("image_id").where(F.col("image_id").isNotNull()).distinct()
+    to_decode = needed.join(images.select("image_id", "bytes", "phash"), "image_id")
+    stats = with_decode_features(to_decode, "bytes").drop("bytes")
+    return matched.join(F.broadcast(stats), "image_id", "left")
 
 
 def assemble_vector(df: DataFrame) -> DataFrame:
-    cols = {
-        "label_locf": F.col("ev_label"),
-        "label_lag1": F.col("ev_label_lag1"),
-        "label_avg5": F.col("ev_label_avg5"),
-        "cnt_1h": F.col("ev_cnt_1h").cast("double"),
-        "session_id": F.col("ev_session_id").cast("double"),
-        "secs_since_prev": F.col("ev_secs_since_prev"),
-        "hamming_prev": F.col("ev_hamming_prev"),
-        "px_mean_r": F.col("px_mean_r"),
-        "px_mean_g": F.col("px_mean_g"),
-        "px_mean_b": F.col("px_mean_b"),
-        "px_std": F.col("px_std"),
-        "px_brightness": F.col("px_brightness"),
-        "px_edge_energy": F.col("px_edge_energy"),
+    def pick(n):
+        if f"ev_{n}" in df.columns:
+            return F.col(f"ev_{n}")
+        if n in df.columns:
+            return F.col(n)
+        return F.lit(None)
+
+    named = {
+        "label_locf": pick("label"),
+        "cnt_1h": pick("cnt_1h").cast("double"),
+        "session_id": pick("session_id").cast("double"),
     }
-    vec = F.array(*[F.coalesce(cols[n], F.lit(float("nan"))).cast("double")
-                    for n in FEATURE_NAMES])
-    return df.withColumn("feature_vector", vec).withColumn(
-        "phash_embedding",
-        F.when(F.col("phash").isNotNull(), phash_embedding_col("phash")),
-    )
+    vec = F.array(*[
+        F.coalesce(named.get(n, pick(n)), F.lit(float("nan"))).cast("double")
+        for n in FEATURE_NAMES
+    ])
+    ph = "ev_phash" if "ev_phash" in df.columns else "phash"
+    out = df.withColumn("feature_vector", vec)
+    if ph in df.columns:
+        out = out.withColumn(
+            "phash_embedding",
+            F.when(F.col(ph).isNotNull(), phash_embedding_col(ph)),
+        )
+    else:
+        out = out.withColumn("phash_embedding", F.lit(None).cast("array<float>"))
+    return out
 
 
 def build_features(
     queries: DataFrame, events: DataFrame, images: DataFrame, *,
     strict: bool = False, time_buckets: int = 0, bucket_width=None,
-    with_pixels: bool = True,
+    with_pixels: bool = True, decode_scope: str = "events",
 ) -> DataFrame:
     """Full pipeline; returns one row per query row with feature_vector,
-    phash_embedding, and the leakage-audit matched-time column."""
-    feats = event_features(events, images)
+    phash_embedding, and the leakage-audit matched-time column.
+
+    decode_scope:
+      - ``"events"`` (default): decode every distinct image referenced by
+        events ONCE and carry the stats through the single forward pass —
+        no persist, no second as-of computation; the scalable shape when
+        query coverage is dense.
+      - ``"matched"``: decode only images actually matched by a query —
+        cheaper when queries are sparse relative to events; costs one
+        persist of the as-of output (two consumers).
+    """
+    if with_pixels and decode_scope == "events":
+        feats = event_features(events, images, with_pixels=True)
+        out = asof_features(queries, feats, strict=strict,
+                            time_buckets=time_buckets, bucket_width=bucket_width)
+        return assemble_vector(out)
+
+    feats = event_features(events, images, with_pixels=False)
     out = asof_features(queries, feats, strict=strict,
                         time_buckets=time_buckets, bucket_width=bucket_width)
     if with_pixels:
+        # the as-of output feeds two consumers (distinct-image id set and
+        # the final stats join) — persist so the union+LOCF sort runs once.
+        out = out.persist()
         out = attach_pixel_features(out, images)
     else:
         out = out.withColumn("phash", F.lit(None).cast("long"))
-        for c in ("px_mean_r", "px_mean_g", "px_mean_b", "px_std",
-                  "px_brightness", "px_edge_energy"):
+        for c in PX_COLS:
             out = out.withColumn(c, F.lit(None).cast("double"))
     return assemble_vector(out)
 

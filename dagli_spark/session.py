@@ -51,9 +51,18 @@ def get_spark(
             pkg_root + (os.pathsep + existing if existing else "")
         )
 
+    # One BLAS thread per Python worker: parallelism is Spark's job, not the
+    # math library's — otherwise each of N workers spawns one thread per
+    # machine core and a local[8] run silently uses every core (and on a
+    # real cluster, oversubscribes the executor).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = SparkSession.builder.appName(app_name).master(master)
     builder = builder.config("spark.executorEnv.PYTHONPATH",
                              os.environ["PYTHONPATH"])
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        builder = builder.config(f"spark.executorEnv.{var}", os.environ[var])
 
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
@@ -72,10 +81,17 @@ def get_spark(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": str(ARROW_BATCH_ROWS),
         # Deterministic float behavior for allclose parity: no ANSI surprises.
+        # smaller split size so fat binary-column scans (image decode) get
+        # enough tasks to fill all cores on local[N]; a real cluster reading
+        # 100 TB has plenty of splits and can keep the 128 MB default.
+        "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.parquet.aggregatePushdown": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        # local[N] puts every "executor" in the driver JVM: size the heap
+        # for N concurrent sort/window tasks (a real cluster sets
+        # spark.executor.memory per node instead).
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
         "spark.ui.enabled": "false",
         "spark.driver.extraJavaOptions": "-Djava.net.preferIPv4Stack=true",
     }
