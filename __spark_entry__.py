@@ -33,7 +33,12 @@ from dagli_spark.operators.fit import (
     multiset,
     order_statistic,
 )
+from dagli_spark.operators.evaluation import binary_evaluation
+from dagli_spark.operators.fit import fit_rank
+from dagli_spark.operators.models import fit_isotonic, fit_kmeans
 from dagli_spark.operators.similarity import knn_bruteforce, knn_lsh
+from dagli_spark.functions import core as C
+from dagli_spark.functions import distribution as D
 from dagli_spark.functions import text as T
 from dagli_spark.functions.vector import norm
 
@@ -371,6 +376,79 @@ def q_lang_id(spark, sf_dir):
     return d.select("doc_id", T.lang_id_heuristic("text").alias("lang_guess"))
 
 
+def q_rank_limited(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    m = fit_rank(ev, "value", limit=100)
+    return m.apply(ev, out="value_rank_cap").select("event_id", "value_rank_cap")
+
+
+def q_dict_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    mapping = {"click": 1, "view": 2, "purchase": 3, "signup": 4, "error": 5}
+    return ev.select(
+        "event_id", C.dictionary_value("event_type", mapping, default=0)
+        .cast("int").alias("type_code"),
+    )
+
+
+def q_dist_argmax(spark, sf_dir):
+    """Per-row DiscreteDistribution ops: build map{low,high}, take argmax
+    + probability (distribution family, SURVEY §2.11)."""
+    ev = _t(spark, sf_dir, "events")
+    dist = F.map_from_arrays(
+        F.array(F.lit("low"), F.lit("high")),
+        F.array(F.col("value") / 200.0, 1.0 - F.col("value") / 200.0),
+    )
+    d = ev.withColumn("dist", dist)
+    return d.select(
+        "event_id",
+        D.most_likely_label("dist").alias("likely"),
+        (F.floor(D.label_probability("dist", "low") * 10000) / 10000)
+        .alias("p_low"),
+    )
+
+
+def q_binary_auc(spark, sf_dir):
+    """BinaryEvaluation (AUC via exact rank-sum): label==0 vs first
+    embedding component."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        (F.col("label") == 0).alias("y"),
+        F.element_at("embedding", 1).cast("double").alias("s"),
+    )
+    ev = binary_evaluation(e, "y", "s")
+    return spark.createDataFrame(
+        [(round(ev["auc"], 6), int(ev["tp"] + ev["fn"]))],
+        "auc double, n_pos int",
+    )
+
+
+def q_kmeans(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    m = fit_kmeans(e, "embedding", 4, max_iter=5, seed=7, id_col="vec_id")
+    return m.apply(e, out="cluster").groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+def q_isotonic(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    df = e.select(F.element_at("embedding", 1).cast("double").alias("s"),
+                  (F.col("label") == 0).cast("double").alias("y"))
+    m = fit_isotonic(df, "s", "y")
+    return m.apply(df, out="cal").select(F.round("s", 4).alias("s"),
+                                         F.round("cal", 4).alias("cal"))
+
+
+def q_northrule(spark, sf_dir):
+    """The flagship image+caption feature pipeline on the deterministic
+    smoke fixture (self-contained; generated+cached under /tmp)."""
+    from dagli_spark.fixtures import materialize
+    from dagli_spark.northrule import run as northrule_run
+
+    paths = materialize(spark, "smoke")
+    out = northrule_run(spark, paths)
+    return out.select("entity_id", "asof_time", "qseq", "feature_vector")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -404,6 +482,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "knn_lsh": q_knn_lsh,
         "lang_id": q_lang_id,
+        "rank_limited": q_rank_limited,
+        "dict_value": q_dict_value,
+        "dist_argmax": q_dist_argmax,
+        "binary_auc": q_binary_auc,
+        "kmeans": q_kmeans,
+        "isotonic": q_isotonic,
+        "northrule_features": q_northrule,
     }
 
 
@@ -639,9 +724,48 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS avg_e0
             FROM embeddings GROUP BY label
         """,
+        "rank_limited": """
+            SELECT event_id,
+                   least(rank() OVER (ORDER BY value ASC) - 1, 100)
+                     AS value_rank_cap
+            FROM events
+        """,
+        "dict_value": """
+            SELECT event_id,
+                   CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                        WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+                        WHEN 'error' THEN 5 ELSE 0 END AS type_code
+            FROM events
+        """,
+        "dist_argmax": """
+            SELECT event_id,
+                   CASE WHEN value / 200.0 > 1.0 - value / 200.0
+                        THEN 'low' ELSE 'high' END AS likely,
+                   floor(value / 200.0 * 10000) / 10000 AS p_low
+            FROM events
+        """,
+        "binary_auc": """
+            WITH r AS (SELECT (label = 0) AS pos,
+                              CAST(embedding[1] AS DOUBLE) AS s
+                       FROM embeddings),
+                 ranked AS (SELECT pos, s,
+                                   row_number() OVER (ORDER BY s) AS r1
+                            FROM r),
+                 avg_r AS (SELECT s, avg(r1) AS ar FROM ranked GROUP BY s),
+                 j AS (SELECT pos, ar FROM ranked JOIN avg_r USING (s))
+            SELECT round((sum(CASE WHEN pos THEN ar END)
+                          - (sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                             * (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)) / 2.0)
+                         / (sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                            * sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)), 6)
+                     AS auc,
+                   CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS INT) AS n_pos
+            FROM j
+        """,
         # minhash_pairs / simhash_pairs / knn_lsh / lang_id: xxhash64-family
         # dependent (documented different hash family than the reference's
-        # MurmurHash3) — driver records rows-only checks.
+        # MurmurHash3); kmeans / isotonic / northrule_features: iterative or
+        # non-SQL-expressible — driver records rows-only checks.
     }
 
 

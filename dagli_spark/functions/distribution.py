@@ -1,0 +1,83 @@
+"""DiscreteDistribution operators (SURVEY.md §2.11).
+
+A distribution is a ``map<label, double>`` column (the reference's
+DiscreteDistribution, math-distribution/.../DiscreteDistribution.java:30).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from dagli_spark.functions.rand import random_double
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _entries_desc(col) -> Column:
+    """map entries sorted by (prob desc, label asc) — deterministic argmax."""
+    return F.sort_array(
+        F.transform(
+            F.map_entries(_c(col)),
+            lambda e: F.struct((-e["value"]).alias("negp"),
+                               e["key"].alias("label"),
+                               e["value"].alias("prob")),
+        )
+    )
+
+
+def most_likely_label(col) -> Column:
+    """argmax label (common/.../distribution/MostLikelyLabelFromDistribution.java:12-19)."""
+    return _entries_desc(col)[0]["label"]
+
+
+def most_likely_labels(col, k: int) -> Column:
+    """top-k labels (MostLikelyLabelsFromDistribution.java:19)."""
+    return F.transform(F.slice(_entries_desc(col), 1, k), lambda e: e["label"])
+
+
+def label_probability(col, label) -> Column:
+    """LabelProbabilityFromDistribution.java:14 — 0.0 when absent."""
+    return F.coalesce(F.element_at(_c(col), F.lit(label)), F.lit(0.0))
+
+
+def distribution_from_vector(labels: list, vec) -> Column:
+    """DistributionFromVector.java:22 — zip fixed labels with scores."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(la) for la in labels]),
+        F.transform(_c(vec), lambda x: x.cast("double")),
+    )
+
+
+def binary_distribution(prob) -> Column:
+    """BinaryDistributionFromProbability.java:13"""
+    p = _c(prob).cast("double")
+    return F.map_from_arrays(
+        F.array(F.lit(True), F.lit(False)), F.array(p, F.lit(1.0) - p)
+    )
+
+
+def sampled_with_replacement(col, key, *, seed: int = 0) -> Column:
+    """Seeded sampling from a per-row distribution
+    (common/.../transformer/SampledWithReplacement.java:27, AliasSampler).
+    Inverse-CDF over the deterministically sorted entries with a
+    hash-derived uniform — same (key, seed) -> same draw at any
+    parallelism (quasi-determinism contract §1.4)."""
+    u = random_double(key, seed)
+    entries = _entries_desc(col)
+    cum = F.transform(
+        entries,
+        lambda e, i: F.aggregate(
+            F.slice(entries, 1, i + 1), F.lit(0.0),
+            lambda acc, x: acc + x["prob"],
+        ),
+    )
+    total = F.aggregate(entries, F.lit(0.0), lambda a, e: a + e["prob"])
+    target = u * total
+    idx = F.coalesce(
+        F.array_position(F.transform(cum, lambda c: c >= target), True),
+        F.lit(1),
+    )
+    return entries[idx.cast("int") - 1]["label"]

@@ -50,8 +50,11 @@ class IndexModel:
 
 def fit_index(
     df: DataFrame, col: str, *, min_freq: int = 1, max_unique: int | None = None,
-    unknown_id: int = -1,
+    unknown_policy: str = "new", unknown_id: int | None = None,
 ) -> IndexModel:
+    """unknown_policy (UnknownItemPolicy.java:52): 'new' -> unseen (and
+    over-cap) values get a fresh id == n_kept; 'most_frequent' -> id 0;
+    'least_frequent' -> last kept id; or pass an explicit unknown_id."""
     counts = df.groupBy(F.col(col).alias("value")).count()
     if min_freq > 1:
         counts = counts.where(F.col("count") >= min_freq)
@@ -59,6 +62,13 @@ def fit_index(
     ranked = counts.withColumn("id", F.row_number().over(w) - 1)
     if max_unique is not None:
         ranked = ranked.where(F.col("id") < max_unique)
+    if unknown_id is None:
+        n_kept = ranked.count()
+        unknown_id = {
+            "new": n_kept,
+            "most_frequent": 0,
+            "least_frequent": max(0, n_kept - 1),
+        }[unknown_policy]
     return IndexModel(col, ranked.select("value", "id"), unknown_id)
 
 
@@ -71,6 +81,27 @@ def multiplicity(df: DataFrame, col: str, *, out: str | None = None) -> DataFram
     out = out or f"{col}_multiplicity"
     counts = df.groupBy(col).agg(F.count(F.lit(1)).alias(out))
     return df.join(F.broadcast(counts), on=col, how="left")
+
+
+@dataclass
+class MultiplicityModel:
+    """Fitted value->count; unseen values map to 0
+    (MultiplicityTest.java: prepared.apply("d") == 0)."""
+    col: str
+    counts: DataFrame
+
+    def apply(self, df: DataFrame, *, out: str | None = None) -> DataFrame:
+        out = out or f"{self.col}_multiplicity"
+        m = F.broadcast(self.counts.withColumnRenamed("value", self.col)
+                        .withColumnRenamed("count", out))
+        j = df.join(m, on=self.col, how="left")
+        return j.withColumn(out, F.coalesce(F.col(out), F.lit(0)))
+
+
+def fit_multiplicity(df: DataFrame, col: str) -> MultiplicityModel:
+    counts = df.groupBy(F.col(col).alias("value")).agg(
+        F.count(F.lit(1)).alias("count"))
+    return MultiplicityModel(col, counts)
 
 
 def multiset(df: DataFrame, col: str) -> DataFrame:
@@ -107,6 +138,7 @@ class RankModel:
     cumulative-count lookup (no driver collect needed at scale)."""
     col: str
     cumulative: DataFrame  # value, below = #fitted strictly below value
+    limit: int | None = None
 
     def apply(self, df: DataFrame, *, out: str | None = None) -> DataFrame:
         out = out or f"{self.col}_rank"
@@ -130,19 +162,29 @@ class RankModel:
             return j.withColumn(out, F.col("below")).drop("below", "cnt")
         matched = j.where(F.col("below").isNotNull()) \
             .withColumn(out, F.col("below")).drop("below", "cnt")
+        rank_expr = F.coalesce(F.max("__rank_after"), F.lit(0))
+        if self.limit is not None:
+            rank_expr = F.least(rank_expr, F.lit(self.limit))
         mj = missing.join(
             F.broadcast(fallback), F.col(self.col) > F.col("__rv"), "left"
-        ).groupBy(*missing.columns).agg(
-            F.coalesce(F.max("__rank_after"), F.lit(0)).alias(out)
-        )
+        ).groupBy(*missing.columns).agg(rank_expr.alias(out))
         return matched.unionByName(mj)
 
 
-def fit_rank(df: DataFrame, col: str) -> RankModel:
+def fit_rank(df: DataFrame, col: str, *, limit: int | None = None,
+             ignore_duplicates: bool = False) -> RankModel:
+    """Reference golden semantics (RankTest.java): rank(probe) = number of
+    fitted *instances* strictly below probe ([2,1,3,1] -> [2,0,3,0]);
+    ignore_duplicates counts distinct values instead ([2,1,1,1,1,3,1,4]:
+    probe 3 -> 2); limit caps the rank (withLimit(3): probe 4 -> 3)."""
     counts = df.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("cnt"))
+    if ignore_duplicates:
+        counts = counts.withColumn("cnt", F.lit(1))
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
     cum = counts.withColumn("below", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
-    return RankModel(col, cum.select("value", "below", "cnt"))
+    if limit is not None:
+        cum = cum.withColumn("below", F.least(F.col("below"), F.lit(limit)))
+    return RankModel(col, cum.select("value", "below", "cnt"), limit=limit)
 
 
 # ---------------------------------------------------------------- BucketIndex (equi-depth DP)

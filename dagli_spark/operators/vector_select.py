@@ -1,0 +1,134 @@
+"""Sparse-vector index selection / densification (SURVEY.md §2.5 vector
+rows): DensifiedVector, TopVectorElementsByValue, TopVectorElementsByPMI /
+ByMutualInformation. Sparse vectors are ``map<bigint,double>`` columns.
+
+All fits are explode -> groupBy aggregates (map-side combinable) producing
+dictionary-sized keep-sets / remaps that broadcast back into the apply.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _explode(df: DataFrame, vec_col: str, extra: list[str] = ()) -> DataFrame:
+    return df.select(*extra, F.explode(F.col(vec_col)).alias("idx", "val"))
+
+
+@dataclass
+class DensifyModel:
+    """Observed sparse indices -> contiguous [0, n) remap
+    (common/.../vector/DensifiedVector.java:23-34; the reference uses a
+    hash-remap with a tiny collision risk — ours is exact)."""
+    vec_col: str
+    remap: DataFrame  # idx -> new_idx
+    size: int
+
+    def apply(self, df: DataFrame, *, out: str | None = None) -> DataFrame:
+        out = out or f"{self.vec_col}_dense"
+        rid = "__dvid"
+        src = df.withColumn(rid, F.monotonically_increasing_id())
+        ex = _explode(src, self.vec_col, [rid])
+        j = ex.join(F.broadcast(self.remap), "idx", "inner")
+        packed = j.groupBy(rid).agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct(
+                    F.col("new_idx").alias("key"), F.col("val").alias("value"))))
+            ).alias(out)
+        )
+        return src.join(packed, rid, "left").drop(rid).withColumn(
+            out, F.coalesce(F.col(out),
+                            F.map_from_arrays(F.array().cast("array<bigint>"),
+                                              F.array().cast("array<double>")))
+        )
+
+
+def fit_densify(df: DataFrame, vec_col: str) -> DensifyModel:
+    idx = _explode(df, vec_col).select("idx").distinct()
+    w = Window.orderBy("idx")
+    remap = idx.withColumn("new_idx", F.row_number().over(w).cast("long") - 1)
+    return DensifyModel(vec_col, remap, remap.count())
+
+
+@dataclass
+class KeepSetModel:
+    """Filter a sparse vector to a fitted keep-set of indices
+    (TopVectorElementsByValue.java:20 etc.: apply = LazyFilteredVector)."""
+    vec_col: str
+    keep: DataFrame  # idx
+
+    def apply(self, df: DataFrame, *, out: str | None = None) -> DataFrame:
+        out = out or f"{self.vec_col}_top"
+        keep_arr = F.array(*[F.lit(int(r["idx"]))
+                             for r in self.keep.collect()])
+        return df.withColumn(
+            out,
+            F.map_filter(F.col(self.vec_col),
+                         lambda k, v: F.array_contains(keep_arr, k)),
+        )
+
+
+def fit_top_by_value(df: DataFrame, vec_col: str, k: int) -> KeepSetModel:
+    """Top-K indices by summed value (TopVectorElementsByValue.java:20)."""
+    agg = _explode(df, vec_col).groupBy("idx").agg(F.sum("val").alias("s"))
+    keep = agg.orderBy(F.col("s").desc(), F.col("idx").asc()).limit(k).select("idx")
+    return KeepSetModel(vec_col, keep)
+
+
+def _cooccurrence(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
+    """per-index: n_with_label, n_total; global n_rows, n_label."""
+    ex = _explode(df, vec_col, [label_col]).where(F.col("val") != 0)
+    return ex.groupBy("idx").agg(
+        F.count(F.lit(1)).alias("n_x"),
+        F.sum(F.col(label_col).cast("double")).alias("n_xy"),
+    )
+
+
+def fit_top_by_pmi(
+    df: DataFrame, vec_col: str, label_col: str, k: int, *, smoothing: float = 1.0,
+) -> KeepSetModel:
+    """Top-K indices by pointwise mutual information with a binary label
+    (TopVectorElementsByPMI.java:34): pmi = log(p(x,y) / (p(x) p(y)))."""
+    tot = df.agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col(label_col).cast("double")).alias("ny")).first()
+    n, ny = float(tot["n"]), float(tot["ny"])
+    co = _cooccurrence(df, vec_col, label_col)
+    pmi = co.withColumn(
+        "pmi",
+        F.log(((F.col("n_xy") + smoothing) / n)
+              / (((F.col("n_x") + smoothing) / n) * (ny / n))),
+    )
+    keep = pmi.orderBy(F.col("pmi").desc(), F.col("idx").asc()).limit(k).select("idx")
+    return KeepSetModel(vec_col, keep)
+
+
+def fit_top_by_mi(
+    df: DataFrame, vec_col: str, label_col: str, k: int, *, smoothing: float = 0.5,
+) -> KeepSetModel:
+    """Top-K indices by mutual information with a binary label
+    (TopVectorElementsByMutualInformation.java:22-32): full 2x2 MI per idx."""
+    tot = df.agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col(label_col).cast("double")).alias("ny")).first()
+    n, ny = float(tot["n"]), float(tot["ny"])
+    co = _cooccurrence(df, vec_col, label_col)
+
+    def term(nxy, nx_, ny_):
+        p_xy = (nxy + smoothing) / (n + 4 * smoothing)
+        p_x = (nx_ + 2 * smoothing) / (n + 4 * smoothing)
+        p_y = (ny_ + 2 * smoothing) / (n + 4 * smoothing)
+        return p_xy * F.log(p_xy / (p_x * p_y))
+
+    nx = F.col("n_x")
+    nxy = F.col("n_xy")
+    mi = co.withColumn(
+        "mi",
+        term(nxy, nx, F.lit(ny))
+        + term(nx - nxy, nx, F.lit(n - ny))
+        + term(F.lit(ny) - nxy, F.lit(n) - nx, F.lit(ny))
+        + term(F.lit(n - ny) - (nx - nxy), F.lit(n) - nx, F.lit(n - ny)),
+    )
+    keep = mi.orderBy(F.col("mi").desc(), F.col("idx").asc()).limit(k).select("idx")
+    return KeepSetModel(vec_col, keep)

@@ -1,0 +1,287 @@
+"""Direct translations of the reference's per-operator golden unit tests
+(Tester builders, SURVEY.md §5.1 / FIXTURES.md §4). Each case cites the
+reference test it mirrors; inputs/outputs are the reference's own."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dagli_spark.functions import core as C
+from dagli_spark.functions import distribution as D
+from dagli_spark.operators.evaluation import (
+    binary_evaluation,
+    multinomial_evaluation,
+    topk_evaluation,
+)
+from dagli_spark.operators.fit import (
+    fit_bucket_index,
+    fit_index,
+    fit_multiplicity,
+    fit_rank,
+    kfold_column,
+)
+from dagli_spark.operators.models import fit_isotonic, fit_kmeans
+from dagli_spark.operators.vector_select import (
+    fit_densify,
+    fit_top_by_pmi,
+    fit_top_by_value,
+)
+
+
+def _vals(spark, xs, t="int"):
+    return spark.createDataFrame([(i, x) for i, x in enumerate(xs)],
+                                 f"i int, v {t}")
+
+
+def _apply_order(df, out):
+    return [r[out] for r in df.orderBy("i").collect()]
+
+
+# -------- Rank (common/src/test/.../transformer/RankTest.java) ----------
+
+def test_rank_duplicates1(spark):
+    """Tester.of(new Rank().withLimit(3)) inputs [2,1,3,1] -> [2,0,3,0];
+    prepared.apply(4) == 3."""
+    df = _vals(spark, [2, 1, 3, 1])
+    m = fit_rank(df, "v", limit=3)
+    assert _apply_order(m.apply(df, out="r"), "r") == [2, 0, 3, 0]
+    probe = _vals(spark, [4])
+    assert _apply_order(m.apply(probe, out="r"), "r") == [3]
+
+
+def test_rank_ignore_duplicates(spark):
+    """RankTest.testDuplicates2: fit [2,1,1,1,1,3,1,4] ignoreDuplicates;
+    apply: 0->0, 1->0, 2->1, 3->2, 4->3 (limit 3)."""
+    fitdf = _vals(spark, [2, 1, 1, 1, 1, 3, 1, 4])
+    m = fit_rank(fitdf, "v", limit=3, ignore_duplicates=True)
+    probe = _vals(spark, [0, 1, 2, 3, 4, 4])
+    assert _apply_order(m.apply(probe, out="r"), "r") == [0, 0, 1, 2, 3, 3]
+
+
+# -------- Multiplicity (.../MultiplicityTest.java) -----------------------
+
+def test_multiplicity_golden(spark):
+    """[a,a,a,b,b,c] -> [3,3,3,2,2,1]; unseen 'd' -> 0."""
+    df = _vals(spark, ["a", "a", "a", "b", "b", "c"], t="string")
+    m = fit_multiplicity(df, "v")
+    assert _apply_order(m.apply(df, out="m"), "m") == [3, 3, 3, 2, 2, 1]
+    probe = _vals(spark, ["d"], t="string")
+    assert _apply_order(m.apply(probe, out="m"), "m") == [0]
+
+
+# -------- Index + UnknownItemPolicy (.../IndexTests.java) ----------------
+
+def test_index_unknown_policies(spark):
+    """maxUniqueObjects(2): [F,E,B,D,C,A,A,A,B] -> A(3x)->0, B(2x)->1,
+    others -> unknown id 2 (policy NEW)."""
+    xs = ["F", "E", "B", "D", "C", "A", "A", "A", "B"]
+    df = _vals(spark, xs, t="string")
+    m = fit_index(df, "v", max_unique=2, unknown_policy="new")
+    assert _apply_order(m.apply(df, out="id"), "id") == [2, 2, 1, 2, 2, 0, 0, 0, 1]
+
+    ys = [1, 2, 2, 3, 3, 3, 4, 4, 4, 4]
+    dfy = _vals(spark, ys)
+    m_mf = fit_index(dfy, "v", max_unique=2, unknown_policy="most_frequent")
+    assert _apply_order(m_mf.apply(dfy, out="id"), "id") == [0, 0, 0, 1, 1, 1, 0, 0, 0, 0]
+    m_lf = fit_index(dfy, "v", max_unique=2, unknown_policy="least_frequent")
+    assert _apply_order(m_lf.apply(dfy, out="id"), "id") == [1, 1, 1, 1, 1, 1, 0, 0, 0, 0]
+
+
+# -------- BucketIndex (.../object/BucketIndexTest.java) ------------------
+
+@pytest.mark.parametrize("k,expected", [
+    (3, [1, 1, 1, 0, 0, 2, 2, 2, 2]),
+    (2, [0, 0, 0, 0, 0, 1, 1, 1, 1]),
+    (1, [0, 0, 0, 0, 0, 0, 0, 0, 0]),
+])
+def test_bucket_index_golden(spark, k, expected):
+    xs = [2, 2, 2, 1, 1, 3, 3, 3, 3]
+    df = _vals(spark, xs)
+    m = fit_bucket_index(df, "v", k)
+    assert _apply_order(m.apply(df, out="b"), "b") == expected
+
+
+def test_bucket_index_out_of_range_clamps(spark):
+    df = _vals(spark, [2, 2, 2, 1, 1, 3, 3, 3, 3])
+    m = fit_bucket_index(df, "v", 3)
+    probe = _vals(spark, [-100, 100])
+    assert _apply_order(m.apply(probe, out="b"), "b") == [0, 2]
+
+
+# -------- KFoldCrossTrained fold discipline (.../meta/KFoldCrossTrainedTest.java)
+
+def test_kfold_no_group_crosses_folds(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    folded = kfold_column(ev, "user_id", 5, seed=3)
+    crossings = (
+        folded.groupBy("user_id")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .where(F.col("nf") > 1).count()
+    )
+    assert crossings == 0
+    nfolds = folded.select("fold").distinct().count()
+    assert 1 < nfolds <= 5
+
+
+# -------- ConditionalValue / FirstNonNull (.../object/*Test.java) --------
+
+def test_conditional_and_coalesce(spark):
+    df = spark.createDataFrame(
+        [(True, 1, 2, None), (False, 1, 2, 7)],
+        "c boolean, a int, b int, n int",
+    )
+    out = df.select(
+        C.conditional_value("c", F.col("a"), F.col("b")).alias("cv"),
+        C.first_non_null("n", "a").alias("fnn"),
+    ).collect()
+    assert [(r["cv"], r["fnn"]) for r in out] == [(1, 1), (2, 7)]
+
+
+def test_tuple_pack_unpack(spark):
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    out = df.select(C.tupled("a", "b").alias("t")).select(
+        C.value_from_tuple("t", 0).alias("v0"),
+        C.value_from_tuple("t", 1).alias("v1"),
+    ).first()
+    assert (out["v0"], out["v1"]) == (1, "x")
+
+
+def test_list_ops(spark):
+    df = spark.createDataFrame([([3, 1, 2, 9],)], "xs array<int>")
+    r = df.select(
+        C.size("xs").alias("n"),
+        C.truncated_list("xs", 2).alias("t"),
+        C.filtered_list_exclude("xs", [9]).alias("fx"),
+        C.array_element("xs", 1).alias("e1"),
+        C.mapped_iterable("xs", lambda x: x * 10).alias("m"),
+    ).first()
+    assert r["n"] == 4 and r["t"] == [3, 1] and r["fx"] == [3, 1, 2]
+    assert r["e1"] == 1 and r["m"] == [30, 10, 20, 90]
+
+
+# -------- Distributions (.../distribution/*.java) ------------------------
+
+def test_distribution_ops(spark):
+    df = spark.createDataFrame(
+        [({"cat": 0.2, "dog": 0.7, "eel": 0.1},)],
+        "d map<string,double>",
+    )
+    r = df.select(
+        D.most_likely_label("d").alias("top"),
+        D.most_likely_labels("d", 2).alias("top2"),
+        D.label_probability("d", "cat").alias("p_cat"),
+        D.label_probability("d", "zzz").alias("p_zzz"),
+    ).first()
+    assert r["top"] == "dog" and r["top2"] == ["dog", "cat"]
+    assert abs(r["p_cat"] - 0.2) < 1e-12 and r["p_zzz"] == 0.0
+
+
+def test_sampled_with_replacement_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, {"a": 0.5, "b": 0.5}) for i in range(200)],
+        "k int, d map<string,double>",
+    )
+    s1 = df.select(D.sampled_with_replacement("d", F.col("k"), seed=1).alias("s"))
+    s2 = df.select(D.sampled_with_replacement("d", F.col("k"), seed=1).alias("s"))
+    a = [r["s"] for r in s1.collect()]
+    assert a == [r["s"] for r in s2.collect()]
+    # both labels drawn
+    assert {"a", "b"} == set(a)
+
+
+# -------- Evaluation (.../evaluation/*EvaluatorTest.java) ----------------
+
+def test_binary_evaluation_auc(spark):
+    # perfectly separable -> AUC 1; random-ish -> 0.5 on symmetric ties
+    df = spark.createDataFrame(
+        [(True, 0.9), (True, 0.8), (False, 0.2), (False, 0.1)],
+        "y boolean, s double",
+    )
+    ev = binary_evaluation(df, "y", "s")
+    assert ev["auc"] == 1.0 and ev["accuracy"] == 1.0 and ev["f1"] == 1.0
+
+    df2 = spark.createDataFrame(
+        [(True, 0.5), (False, 0.5), (True, 0.5), (False, 0.5)],
+        "y boolean, s double",
+    )
+    assert abs(binary_evaluation(df2, "y", "s")["auc"] - 0.5) < 1e-12
+
+
+def test_multinomial_and_topk(spark):
+    df = spark.createDataFrame(
+        [("a", "a", ["a", "b"]), ("b", "a", ["a", "b"]), ("b", "b", ["b", "a"])],
+        "truth string, pred string, ranked array<string>",
+    )
+    m = multinomial_evaluation(df, "truth", "pred")
+    assert abs(m["accuracy"] - 2 / 3) < 1e-12
+    t = topk_evaluation(df, "truth", "ranked", 2)
+    assert t["hit@2"] == 1.0
+    assert abs(t["mrr@2"] - (1 + 0.5 + 1) / 3) < 1e-12
+
+
+# -------- Vector selection (.../vector/*Test.java) -----------------------
+
+def _sparse_df(spark):
+    rows = [
+        (1, {0: 1.0, 5: 2.0, 9: 1.0}),
+        (1, {0: 2.0, 5: 1.0}),
+        (0, {5: 1.0, 7: 4.0}),
+        (0, {7: 1.0}),
+    ]
+    return spark.createDataFrame(rows, "label int, vec map<bigint,double>")
+
+
+def test_densify(spark):
+    df = _sparse_df(spark)
+    m = fit_densify(df, "vec")
+    assert m.size == 4  # indices {0,5,7,9} -> 0..3
+    out = m.apply(df, out="d").collect()
+    keys = set()
+    for r in out:
+        keys |= set(r["d"].keys())
+    assert keys == {0, 1, 2, 3}
+
+
+def test_top_by_value_and_pmi(spark):
+    df = _sparse_df(spark)
+    top = fit_top_by_value(df, "vec", 2)
+    kept = {int(r["idx"]) for r in top.keep.collect()}
+    assert kept == {5, 7}  # sums: 0->3, 5->4, 7->5, 9->1
+    out = top.apply(df, out="t").collect()
+    for r in out:
+        assert set(r["t"].keys()) <= {5, 7}
+
+    pmi = fit_top_by_pmi(df, "vec", "label", 2)
+    kept_pmi = {int(r["idx"]) for r in pmi.keep.collect()}
+    assert 0 in kept_pmi or 9 in kept_pmi  # label-1-associated indices win
+
+
+# -------- Models ---------------------------------------------------------
+
+def test_kmeans_separates_clusters(spark):
+    import numpy as np
+    rows = []
+    for i in range(50):
+        rows.append(([0.0 + (i % 5) * 0.01, 0.0],))
+        rows.append(([10.0 + (i % 5) * 0.01, 10.0],))
+    df = spark.createDataFrame(rows, "v array<double>")
+    m = fit_kmeans(df, "v", 2, max_iter=5, seed=1)
+    out = m.apply(df, out="c")
+    # rows near origin all share a cluster; rows near (10,10) the other
+    got = out.select(F.element_at("v", 1).alias("x"), "c").collect()
+    c_lo = {r["c"] for r in got if r["x"] < 5}
+    c_hi = {r["c"] for r in got if r["x"] >= 5}
+    assert len(c_lo) == 1 and len(c_hi) == 1 and c_lo != c_hi
+
+
+def test_isotonic_monotone_and_calibrated(spark):
+    rows = [(0.1, 0.0), (0.2, 0.0), (0.3, 1.0), (0.4, 0.0),
+            (0.5, 1.0), (0.6, 1.0), (0.7, 1.0)]
+    df = spark.createDataFrame(rows, "s double, y double")
+    m = fit_isotonic(df, "s", "y")
+    assert all(b >= a - 1e-12 for a, b in zip(m.ys, m.ys[1:]))
+    out = m.apply(df, out="cal").orderBy("s").collect()
+    cals = [r["cal"] for r in out]
+    assert all(b >= a - 1e-12 for a, b in zip(cals, cals[1:]))
+    assert 0.0 <= cals[0] <= cals[-1] <= 1.0
