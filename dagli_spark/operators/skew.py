@@ -1,0 +1,70 @@
+"""Explicit skew handling: salted two-level aggregation and hot-key
+detection. AQE splits skewed JOINs automatically but NOT skewed
+groupBy/window keys (SURVEY.md §4.3) — for those, salting is the engine's
+job. The as-of join's hot-entity path is
+dagli_spark.operators.asof.asof_join(time_buckets=...).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame, keys: list[str], aggs: dict[str, Column], *,
+    salt_buckets: int = 16, salt_on: Column | None = None,
+) -> DataFrame:
+    """Two-level aggregation for skewed group keys.
+
+    Level 1 groups by (keys..., salt) — a hot key's rows spread over
+    ``salt_buckets`` reducers; level 2 merges the per-salt partials. Only
+    algebraic aggregates are supported (sum/count/min/max — anything with
+    a merge that equals re-applying the same aggregate).
+
+    The salt is a deterministic hash of a row-distinguishing column
+    (default: every column), keeping the §1.4 partition-invariance
+    contract — never F.rand().
+    """
+    salt_src = salt_on if salt_on is not None else F.xxhash64(*df.columns)
+    salted = df.withColumn("__salt", F.pmod(salt_src, F.lit(salt_buckets)))
+
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[a.alias(f"__p_{name}") for name, a in aggs.items()]
+    )
+    merged = {}
+    for name, a in aggs.items():
+        fn = a._jc.toString().split("(")[0].lower() if hasattr(a, "_jc") else ""
+        col = F.col(f"__p_{name}")
+        if fn.startswith("count"):
+            merged[name] = F.sum(col)
+        elif fn.startswith("sum"):
+            merged[name] = F.sum(col)
+        elif fn.startswith("min"):
+            merged[name] = F.min(col)
+        elif fn.startswith("max"):
+            merged[name] = F.max(col)
+        elif fn.startswith("avg") or fn.startswith("mean"):
+            raise ValueError(
+                "avg is not directly mergeable: aggregate sum and count "
+                "separately and divide after salted_agg"
+            )
+        else:
+            merged[name] = F.sum(col)  # default: additive merge
+    return partial.groupBy(*keys).agg(
+        *[m.alias(name) for name, m in merged.items()]
+    )
+
+
+def hot_keys(df: DataFrame, keys: list[str], *, top: int = 10,
+             min_share: float = 0.01) -> DataFrame:
+    """Diagnostic: keys owning more than ``min_share`` of all rows —
+    candidates for salting / time-bucketed as-of."""
+    total = df.count()
+    return (
+        df.groupBy(*keys).count()
+        .withColumn("share", F.col("count") / F.lit(float(total)))
+        .where(F.col("share") >= min_share)
+        .orderBy(F.col("count").desc())
+        .limit(top)
+    )

@@ -1,0 +1,102 @@
+"""Plan-shape regression tests (pushdown / pruning / shuffle counts),
+salted aggregation correctness, and source readers."""
+
+from pyspark.sql import functions as F
+
+from dagli_spark.fixtures import materialize
+from dagli_spark.northrule import event_features
+from dagli_spark.operators.asof import asof_join
+from dagli_spark.operators.skew import hot_keys, salted_agg
+from dagli_spark.plans.inspect import (
+    count_exchanges,
+    pushed_filters,
+    scan_columns,
+)
+from dagli_spark.sources.readers import (
+    concat_columns,
+    multiplexed_union,
+    sample_reader,
+    shuffled_reader,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = ev.where(F.col("event_type") == "purchase").select("event_id", "value")
+    pf = pushed_filters(q)
+    assert any("event_type" in f for f in pf), pf
+    cols = scan_columns(q)
+    assert all(set(c) <= {"event_id", "value", "event_type"} for c in cols), cols
+
+
+def test_bytes_column_pruned_outside_decode(spark):
+    """The fat binary column must not be read by the no-pixel pipeline."""
+    paths = materialize(spark, "smoke")
+    ev = spark.read.parquet(paths["image_events"])
+    img = spark.read.parquet(paths["images"])
+    feats = event_features(ev, img, with_pixels=False)
+    for cols in scan_columns(feats):
+        assert "bytes" not in cols, cols
+    # and WITH pixels, bytes appears in exactly the decode-side scan
+    feats_px = event_features(ev, img, with_pixels=True)
+    assert any("bytes" in cols for cols in scan_columns(feats_px))
+
+
+def test_asof_join_single_shuffle_per_side(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    queries = ev.select("user_id", F.col("ts").alias("asof_time"))
+    events = ev.select("user_id", "ts", F.col("value").alias("v"))
+    out = asof_join(queries, events, on="user_id", left_time="asof_time",
+                    right_time="ts", values=["v"])
+    # union + window: one exchange per input side, nothing else
+    assert count_exchanges(out) <= 2, count_exchanges(out)
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plain = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    salted = salted_agg(
+        ev, ["event_type"],
+        {"n": F.count(F.lit(1)), "s": F.sum("value"),
+         "mn": F.min("value"), "mx": F.max("value")},
+        salt_buckets=8,
+    )
+    a = {r["event_type"]: (r["n"], round(r["s"], 6), r["mn"], r["mx"])
+         for r in plain.collect()}
+    b = {r["event_type"]: (r["n"], round(r["s"], 6), r["mn"], r["mx"])
+         for r in salted.collect()}
+    assert a == b
+
+
+def test_hot_keys_finds_fixture_skew(spark):
+    paths = materialize(spark, "smoke")
+    ev = spark.read.parquet(paths["image_events"])
+    hk = hot_keys(ev, ["entity_id"], min_share=0.03)
+    ids = {r["entity_id"] for r in hk.collect()}
+    # fixture gives the 4 hot entities ~5% each
+    assert {"e_000000", "e_000001", "e_000002", "e_000003"} <= ids
+
+
+def test_sources(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.limit(10).select("event_id", "value")
+    b = ev.limit(5).select("event_id", "value")
+    u = multiplexed_union(a, b)
+    assert u.count() == 15
+
+    z = concat_columns(a, ev.select("event_id", "event_type"), "event_id")
+    assert z.count() == 10 and set(z.columns) == {"event_id", "value", "event_type"}
+
+    s1 = sample_reader(ev, F.col("event_id"), 0.0, 0.5, seed=9)
+    s2 = sample_reader(ev, F.col("event_id"), 0.5, 1.0, seed=9)
+    n1, n2, n = s1.count(), s2.count(), ev.count()
+    assert n1 + n2 == n and abs(n1 - n / 2) < n * 0.1  # disjoint halves
+
+    sh = shuffled_reader(ev.select("event_id"), F.col("event_id"), seed=1)
+    order = [r["event_id"] for r in sh.collect()]
+    assert order != sorted(order) and sorted(order) == list(range(n))
