@@ -438,6 +438,69 @@ def q_isotonic(spark, sf_dir):
                                          F.round("cal", 4).alias("cal"))
 
 
+def q_grouped_mean(spark, sf_dir):
+    """PreparedByGroup (meta family): fit avg(value) per event_type, apply
+    routes rows to their group's fitted state (broadcast join)."""
+    from dagli_spark.operators.meta import fit_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    m = fit_by_group(ev, "event_type", {"type_mean": F.avg("value")})
+    return m.apply(ev).select(
+        "event_id", F.round("type_mean", 4).alias("type_mean"))
+
+
+def q_kfold_target_encode(spark, sf_dir):
+    """KFoldCrossTrained specialized to target-mean encoding: each row's
+    feature is the mean value of its event_type over the OTHER folds
+    (leakage-free, single-shuffle leave-one-fold-out algebra)."""
+    from dagli_spark.operators.meta import kfold_target_encode
+
+    ev = _t(spark, sf_dir, "events")
+    out = kfold_target_encode(ev, "event_type", "value", k=3,
+                              group_col="user_id", method="lcg", out="enc")
+    return out.select("event_id", "fold", F.round("enc", 4).alias("enc"))
+
+
+def q_nearest_centroid(spark, sf_dir):
+    """NearestVector: argmin L2 distance vs a fixed candidate list (basis
+    vectors at dims 0..2), pure Catalyst broadcast nested-loop."""
+    from dagli_spark.functions.vector import nearest_vector
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    cands = []
+    for i in range(3):
+        v = [0.0] * dim
+        v[i] = 1.0
+        cands.append(v)
+    nn = nearest_vector(F.col("embedding"), cands)
+    return e.select("vec_id", nn["idx"].alias("nn_idx"))
+
+
+def q_avg_embedding(spark, sf_dir):
+    """AveragedDenseVector: column-wise mean embedding (posexplode +
+    groupBy(pos) — map-side combine keeps the shuffle dim-sized)."""
+    from dagli_spark.operators.vector_select import averaged_dense_vector
+
+    e = _t(spark, sf_dir, "embeddings")
+    means = averaged_dense_vector(e, "embedding")
+    return spark.createDataFrame(
+        [(i, round(m, 4)) for i, m in enumerate(means)], "pos int, mean double"
+    )
+
+
+def q_text_ops(spark, sf_dir):
+    """Scalar text family: ReplacedRegex / SubstringCount /
+    ContainsEmailAddress over documents."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.replaced_regex(F.col("text"), "[0-9]", "#").alias("masked"),
+        T.substring_count("text", "the").alias("n_the"),
+        T.contains_email("text").alias("has_email"),
+    )
+
+
 def q_northrule(spark, sf_dir):
     """The flagship image+caption feature pipeline on the deterministic
     smoke fixture (self-contained; generated+cached under /tmp)."""
@@ -488,6 +551,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_auc": q_binary_auc,
         "kmeans": q_kmeans,
         "isotonic": q_isotonic,
+        "grouped_mean": q_grouped_mean,
+        "kfold_target_encode": q_kfold_target_encode,
+        "nearest_centroid": q_nearest_centroid,
+        "avg_embedding": q_avg_embedding,
+        "text_ops": q_text_ops,
         "northrule_features": q_northrule,
     }
 
@@ -761,6 +829,55 @@ def oracle_sql() -> dict[str, str]:
                      AS auc,
                    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS INT) AS n_pos
             FROM j
+        """,
+        "grouped_mean": """
+            SELECT event_id,
+                   round(avg(value) OVER (PARTITION BY event_type), 4)
+                     AS type_mean
+            FROM events
+        """,
+        "kfold_target_encode": """
+            WITH routed AS (
+                SELECT *, CAST((user_id * 2654435761) % 4294967296 % 3 AS INT)
+                            AS fold
+                FROM events),
+            p AS (SELECT event_type, fold, sum(value) AS s, count(value) AS c
+                  FROM routed GROUP BY event_type, fold),
+            o AS (SELECT event_type, fold,
+                         sum(s) OVER (PARTITION BY event_type) - s AS os,
+                         sum(c) OVER (PARTITION BY event_type) - c AS oc
+                  FROM p)
+            SELECT r.event_id, r.fold, round(o.os / o.oc, 4) AS enc
+            FROM routed r JOIN o USING (event_type, fold)
+        """,
+        "nearest_centroid": """
+            -- candidates are basis vectors e0,e1,e2: L2 dist_i = |v|^2 - 2 v[i] + 1,
+            -- so argmin_i = argmax of the first three components (ties -> lower i)
+            SELECT vec_id,
+                   CASE WHEN e0 >= e1 AND e0 >= e2 THEN 0
+                        WHEN e1 >= e2 THEN 1 ELSE 2 END AS nn_idx
+            FROM (SELECT vec_id,
+                         CAST(embedding[1] AS DOUBLE) AS e0,
+                         CAST(embedding[2] AS DOUBLE) AS e1,
+                         CAST(embedding[3] AS DOUBLE) AS e2
+                  FROM embeddings)
+        """,
+        "avg_embedding": """
+            SELECT pos, round(avg(v), 4) AS mean
+            FROM (SELECT unnest(range(0, len(embedding))) AS pos,
+                         CAST(unnest(embedding) AS DOUBLE) AS v
+                  FROM embeddings)
+            GROUP BY pos
+        """,
+        "text_ops": """
+            SELECT doc_id,
+                   regexp_replace(text, '[0-9]', '#', 'g') AS masked,
+                   CAST((length(text) - length(replace(text, 'the', '')))
+                        / 3 AS INT) AS n_the,
+                   regexp_matches(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+                     AS has_email
+            FROM documents
         """,
         # minhash_pairs / simhash_pairs / knn_lsh / lang_id: xxhash64-family
         # dependent (documented different hash family than the reference's

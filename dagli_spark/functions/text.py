@@ -40,10 +40,57 @@ def substring_count(col, sub: str) -> Column:
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
+# 7+ digit runs with optional separators/parens/leading + (crude but JVM-side;
+# the reference wraps libphonenumber — text-phone/.../ContainsPhoneNumber.java)
+PHONE_RE = r"\+?\(?\d{1,4}\)?([-. ]?\d{2,4}){2,4}"
+
 
 def contains_email(col) -> Column:
     """text/.../ContainsEmailAddress.java:14"""
     return matches_regex(col, EMAIL_RE)
+
+
+def contains_phone(col) -> Column:
+    """text-phone/.../ContainsPhoneNumber.java (regex approximation; swap in
+    a libphonenumber pandas UDF where the lib is available)."""
+    return matches_regex(col, PHONE_RE)
+
+
+_ACCENT_SRC = "áàâäãåāéèêëēíìîïīóòôöõøōúùûüūýÿñçćžšđÁÀÂÄÃÅĀÉÈÊËĒÍÌÎÏĪÓÒÔÖÕØŌÚÙÛÜŪÝŸÑÇĆŽŠĐ"
+_ACCENT_DST = "aaaaaaaeeeeeiiiiiooooooouuuuuyyncczsdAAAAAAAEEEEEIIIIIOOOOOOOUUUUUYYNCCZSD"
+
+
+def accentless(col) -> Column:
+    """Strip diacritics for the Latin-1/Latin-Extended range, JVM-side
+    (text/.../Accentless.java:22 does full ICU folding; full-Unicode parity
+    lives in normalized_unicode's NFD path)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _ACCENT_SRC, _ACCENT_DST)
+
+
+def normalized_unicode(col, form: str = "NFC") -> Column:
+    """Unicode normalization (text/.../NormalizedUnicode.java:17) as an
+    Arrow-batched pandas UDF (no JVM builtin exists)."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.map(lambda x: unicodedata.normalize(form, x) if x is not None else None)
+
+    return _norm(F.col(col) if isinstance(col, str) else col)
+
+
+def replaced_substrings(col, replacements: dict[str, str]) -> Column:
+    """Multi-target literal replacement (text/.../ReplacedSubstrings.java:21;
+    the reference uses an Aho-Corasick-style search — chained JVM `replace`
+    is equivalent for non-overlapping target sets, applied in deterministic
+    sorted order)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for k in sorted(replacements):
+        c = F.replace(c, F.lit(k), F.lit(replacements[k]))
+    return c
 
 
 def tokens(col) -> Column:

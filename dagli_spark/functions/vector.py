@@ -63,6 +63,34 @@ def vec_mean(a) -> Column:
     return F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double")) / F.size(_c(a))
 
 
+def nearest_vector(vec, candidates: list[list[float]], *, metric: str = "l2") -> Column:
+    """Index of the nearest candidate vector (NearestVector,
+    common/.../vector/NearestVector.java:14-22): the candidate list is a
+    plan literal (Dagli broadcasts the fixed candidate list the same way),
+    distances fuse into one codegen'd expression — a broadcast nested-loop
+    with no Python. Returns struct(idx int, dist double); ties break to the
+    lower index (deterministic). metric: 'l2' (squared) or 'cosine'
+    (distance = 1 - cosine similarity)."""
+    v = _c(vec)
+    cands = F.array(*[
+        F.array(*[F.lit(float(x)) for x in cand]) for cand in candidates
+    ])
+    if metric == "l2":
+        dist_fn = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(v, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+    elif metric == "cosine":
+        dist_fn = lambda c: F.lit(1.0) - cosine(v, c)  # noqa: E731
+    else:
+        raise ValueError(metric)
+    scored = F.transform(
+        cands,
+        lambda c, i: F.struct(dist_fn(c).alias("dist"), i.cast("int").alias("idx")),
+    )
+    best = F.array_min(scored)  # struct ordering: (dist asc, idx asc)
+    return F.struct(best["idx"].alias("idx"), best["dist"].alias("dist"))
+
+
 # ---------------------------------------------------------------- sparse ops
 
 def many_hot(indices) -> Column:
@@ -77,6 +105,29 @@ def categorical_feature(position, value, *, seed: int = 0) -> Column:
     (CategoricalFeatureVector, common/.../vector/CategoricalFeatureVector.java:17-34
     uses hash(hash(pos)+hash(val)); we use xxhash64(seed, pos, val))."""
     return F.xxhash64(F.lit(seed), _c(position), _c(value))
+
+
+def composite_sparse(*maps, seed: int = 0) -> Column:
+    """Hash-combine several sparse vectors into one collision-avoiding map
+    (CompositeSparseVector, common/.../vector/CompositeSparseVector.java:21):
+    each constituent's keys are re-hashed with its position so identical
+    indices in different inputs stay distinct."""
+    def _rehash(i):
+        # single-arg lambda: a 2-arg callable would make F.transform pass
+        # (element, index) and shadow the constituent position
+        return lambda k: F.xxhash64(F.lit(seed), F.lit(i), k)
+
+    rehashed = [
+        F.map_from_arrays(
+            F.transform(F.map_keys(_c(m)), _rehash(i)),
+            F.map_values(_c(m)),
+        )
+        for i, m in enumerate(maps)
+    ]
+    out = rehashed[0]
+    for m in rehashed[1:]:
+        out = F.map_concat(out, m)
+    return out
 
 
 def sparse_from_counts(keys, *, seed: int = 0) -> Column:

@@ -53,6 +53,22 @@ def fit_densify(df: DataFrame, vec_col: str) -> DensifyModel:
     return DensifyModel(vec_col, remap, remap.count())
 
 
+def averaged_dense_vector(df: DataFrame, vec_col: str) -> list[float]:
+    """Column-wise mean of a dense ``array`` column over all rows
+    (AveragedDenseVector, common/.../vector/AveragedDenseVector.java:21).
+
+    Shape: posexplode -> groupBy(pos).avg — map-side partial aggregation
+    reduces each partition to `dim` partials before the shuffle, so the
+    exchange carries partitions x dim doubles regardless of row count
+    (the driver-side result is dim-sized, like every Dagli fitted state)."""
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    rows = (
+        ex.groupBy("pos").agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .orderBy("pos").collect()
+    )
+    return [r["m"] for r in rows]
+
+
 @dataclass
 class KeepSetModel:
     """Filter a sparse vector to a fitted keep-set of indices

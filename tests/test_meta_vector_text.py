@@ -1,0 +1,205 @@
+"""Golden tests for the meta operators (PreparedByGroup / KFoldCrossTrained /
+BestModel), NearestVector / AveragedDenseVector, and the remaining text ops.
+Modeled on the reference's Tester-style per-operator checks (SURVEY.md §5)."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dagli_spark.functions.text import (
+    accentless,
+    contains_phone,
+    normalized_unicode,
+    replaced_substrings,
+)
+from dagli_spark.functions.vector import composite_sparse, nearest_vector
+from dagli_spark.operators.meta import (
+    best_model,
+    fit_by_group,
+    kfold_cross_trained,
+    kfold_target_encode,
+)
+from dagli_spark.operators.vector_select import averaged_dense_vector
+
+
+def _events(spark):
+    rows = [
+        (i, ["a", "b", "c"][i % 3], float(i), i % 7)
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "id int, key string, y double, grp int")
+
+
+# ---------------------------------------------------------- PreparedByGroup
+
+def test_fit_by_group_matches_plain_groupby(spark):
+    df = _events(spark)
+    m = fit_by_group(df, "key", {"mu": F.avg("y"), "n": F.count(F.lit(1))})
+    got = {r["key"]: (r["mu"], r["n"]) for r in m.state.collect()}
+    pdf = df.toPandas()
+    for k, g in pdf.groupby("key"):
+        assert math.isclose(got[k][0], g["y"].mean())
+        assert got[k][1] == len(g)
+    applied = m.apply(df)
+    row = applied.where(F.col("id") == 0).first()
+    assert math.isclose(row["mu"], got["a"][0])
+
+
+def test_fit_by_group_unseen_group_is_null(spark):
+    df = _events(spark)
+    m = fit_by_group(df, "key", {"mu": F.avg("y")})
+    probe = spark.createDataFrame([(99, "zzz")], "id int, key string")
+    assert m.apply(probe).first()["mu"] is None
+
+
+# ------------------------------------------------------- KFoldCrossTrained
+
+def test_kfold_target_encode_is_leave_one_fold_out(spark):
+    df = _events(spark)
+    enc = kfold_target_encode(df, "key", "y", k=3, group_col="grp",
+                              seed=5, out="enc").toPandas()
+    for _, r in enc.iterrows():
+        others = enc[(enc["key"] == r["key"]) & (enc["fold"] != r["fold"])]
+        assert math.isclose(r["enc"], others["y"].mean()), r
+
+
+def test_kfold_target_encode_zero_leakage(spark):
+    """Perturbing targets inside fold i must not move fold-i encodings —
+    the event-time analogue of KFoldCrossTrained's anti-leakage contract."""
+    df = _events(spark)
+    base = kfold_target_encode(df, "key", "y", k=3, group_col="grp",
+                               seed=5, out="enc")
+    fold_of = {r["id"]: r["fold"] for r in base.select("id", "fold").collect()}
+    poisoned_fold = 1
+    df2 = df.withColumn(
+        "y",
+        F.when(F.lit(True) & F.col("id").isin(
+            [i for i, f in fold_of.items() if f == poisoned_fold]),
+            F.col("y") + 1000.0).otherwise(F.col("y")),
+    )
+    enc1 = {r["id"]: r["enc"] for r in base.collect()}
+    enc2 = {r["id"]: r["enc"]
+            for r in kfold_target_encode(df2, "key", "y", k=3, group_col="grp",
+                                         seed=5, out="enc").collect()}
+    for i, f in fold_of.items():
+        if f == poisoned_fold:
+            assert math.isclose(enc1[i], enc2[i]), (i, enc1[i], enc2[i])
+        else:
+            assert not math.isclose(enc1[i], enc2[i])
+
+
+def test_kfold_target_encode_smoothing(spark):
+    df = _events(spark)
+    prior = df.agg(F.avg("y")).first()[0]
+    enc = kfold_target_encode(df, "key", "y", k=3, group_col="grp", seed=5,
+                              smoothing=10.0, out="enc").toPandas()
+    r = enc.iloc[0]
+    others = enc[(enc["key"] == r["key"]) & (enc["fold"] != r["fold"])]
+    want = (others["y"].sum() + 10.0 * prior) / (len(others) + 10.0)
+    assert math.isclose(r["enc"], want)
+
+
+def test_kfold_cross_trained_generic(spark):
+    df = _events(spark)
+
+    def fit(d):
+        return d.agg(F.avg("y")).first()[0]
+
+    def apply(mu, d):
+        return d.withColumn("pred", F.lit(float(mu)))
+
+    applied, full_model = kfold_cross_trained(df, "grp", 3, fit, apply, seed=5)
+    pdf = applied.toPandas()
+    assert len(pdf) == 60
+    for f in pdf["fold"].unique():
+        want = pdf[pdf["fold"] != f]["y"].mean()
+        got = pdf[pdf["fold"] == f]["pred"].iloc[0]
+        assert math.isclose(got, want)
+    assert math.isclose(full_model, pdf["y"].mean())
+
+
+# ----------------------------------------------------------------- BestModel
+
+def test_best_model_picks_lower_mse(spark):
+    df = _events(spark)
+
+    def fit_mean(d):
+        return d.agg(F.avg("y")).first()[0]
+
+    def fit_const(d):
+        return -100.0  # deliberately bad
+
+    def apply(m, d):
+        return d.withColumn("pred", F.lit(float(m)))
+
+    def score(pred):  # higher is better
+        return -pred.agg(F.avg((F.col("y") - F.col("pred")) ** 2)).first()[0]
+
+    name, model, scores = best_model(
+        df, {"mean": fit_mean, "const": fit_const}, apply, score,
+        group_col="grp", k=3, seed=5)
+    assert name == "mean"
+    assert scores["mean"] > scores["const"]
+    assert math.isclose(model, df.agg(F.avg("y")).first()[0])
+
+
+# ------------------------------------------------------------------ vectors
+
+def test_nearest_vector_l2_and_cosine(spark):
+    cands = [[0.0, 0.0], [1.0, 0.0], [0.0, 2.0]]
+    df = spark.createDataFrame(
+        [(0, [0.9, 0.1]), (1, [0.1, 1.5]), (2, [0.0, 0.0])],
+        "id int, v array<double>")
+    out = {r["id"]: r["nn"]
+           for r in df.select("id", nearest_vector("v", cands).alias("nn")).collect()}
+    vecs = {0: [0.9, 0.1], 1: [0.1, 1.5], 2: [0.0, 0.0]}
+    for i, v in vecs.items():
+        d = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in cands]
+        assert out[i]["idx"] == int(np.argmin(d))
+        assert math.isclose(out[i]["dist"], min(d), abs_tol=1e-12)
+    cos = df.where(F.col("id") == 0).select(
+        nearest_vector("v", [[1.0, 0.0], [0.0, 1.0]], metric="cosine").alias("nn")
+    ).first()["nn"]
+    assert cos["idx"] == 0
+
+
+def test_averaged_dense_vector(spark):
+    arrs = [[1.0, 2.0, 3.0], [3.0, 4.0, 5.0], [5.0, 6.0, 1.0]]
+    df = spark.createDataFrame([(a,) for a in arrs], "v array<double>")
+    got = averaged_dense_vector(df, "v")
+    np.testing.assert_allclose(got, np.array(arrs).mean(axis=0))
+
+
+def test_composite_sparse_keeps_constituents_distinct(spark):
+    df = spark.createDataFrame([(1,)], "id int").select(
+        composite_sparse(
+            F.create_map(F.lit(7).cast("long"), F.lit(1.0)),
+            F.create_map(F.lit(7).cast("long"), F.lit(2.0)),
+        ).alias("m"))
+    m = df.first()["m"]
+    assert len(m) == 2 and sorted(m.values()) == [1.0, 2.0]
+
+
+# --------------------------------------------------------------------- text
+
+def test_accentless_and_unicode_norm(spark):
+    df = spark.createDataFrame([("Café Zürich naïve",), ("Café",)],
+                               "t string")
+    got = [r["a"] for r in df.select(accentless("t").alias("a")).collect()]
+    assert got[0] == "Cafe Zurich naive"
+    nfc = [r["n"] for r in
+           df.select(normalized_unicode("t", "NFC").alias("n")).collect()]
+    assert nfc[1] == "Café"  # combining accent composed
+
+
+def test_replaced_substrings_and_phone(spark):
+    df = spark.createDataFrame(
+        [("call +1 (555) 123-4567 now", "foo bar")], "a string, b string")
+    r = df.select(
+        replaced_substrings("b", {"foo": "X", "bar": "Y"}).alias("rb"),
+        contains_phone("a").alias("ph"),
+        contains_phone("b").alias("nph"),
+    ).first()
+    assert r["rb"] == "X Y"
+    assert r["ph"] is True and r["nph"] is False
