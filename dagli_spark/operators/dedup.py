@@ -33,13 +33,29 @@ def exact_dedup(
     return w.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
 
 
-def _minhash_cols(toks, num_hashes: int, seed: int):
-    """P independent minhashes of the shingle set via seeded xxhash64."""
-    return [
-        F.array_min(F.transform(toks, lambda t, i=i: F.xxhash64(F.lit(seed + i), t)))
-        .alias(f"mh_{i}")
+def minhash_signature(
+    df: DataFrame, text_col: str, id_col: str, *,
+    shingle: int = 3, num_hashes: int = 16, seed: int = 7,
+) -> DataFrame:
+    """(id, mh_0..mh_{P-1}) minhash signature of the shingle set.
+
+    Shape: explode shingles -> xxhash64 each shingle STRING exactly once ->
+    ONE groupBy(id) with P `min(xxhash64(salt_i, h))` aggregates. The P
+    independent hash functions re-hash the 64-bit value with a per-function
+    salt — cheap long-input hashing instead of P full string-hash passes
+    (the naive P×transform formulation re-hashes every string P times and
+    is the dominant cost). Map-side combine reduces each partition to
+    (id, P longs) partials before the shuffle. Docs with zero shingles are
+    dropped (they cannot be near-duplicates of anything)."""
+    shingles = F.array_distinct(word_ngrams(text_col, shingle))
+    ex = (
+        df.select(F.col(id_col), F.explode(shingles).alias("__t"))
+        .select(id_col, F.xxhash64(F.lit(seed), F.col("__t")).alias("__h"))
+    )
+    return ex.groupBy(id_col).agg(*[
+        F.min(F.xxhash64(F.lit(seed + 1 + i), F.col("__h"))).alias(f"mh_{i}")
         for i in range(num_hashes)
-    ]
+    ])
 
 
 def minhash_lsh_pairs(
@@ -52,9 +68,8 @@ def minhash_lsh_pairs(
     jaccard >= threshold."""
     rows_per_band = num_hashes // bands
     shingles = F.array_distinct(word_ngrams(text_col, shingle))
-    base = df.select(
-        F.col(id_col), shingles.alias("__sh"), *_minhash_cols(shingles, num_hashes, seed)
-    ).where(F.size("__sh") > 0)
+    sig = minhash_signature(df, text_col, id_col, shingle=shingle,
+                            num_hashes=num_hashes, seed=seed)
 
     band_keys = []
     for b in range(bands):
@@ -64,7 +79,7 @@ def minhash_lsh_pairs(
     # through the self-join shuffle or the pair dedup (they are joined back
     # exactly once per verified candidate); shuffle = |docs| x bands 8-byte
     # keys, never |docs|^2 payloads.
-    banded = base.select(
+    banded = sig.select(
         id_col, F.explode(F.array(*band_keys)).alias("__band")
     )
     a = banded.alias("a")
@@ -78,7 +93,17 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = base.select(id_col, "__sh")
+    # Verify only candidate docs: without the semi-filter the shingle arrays
+    # are built for EVERY doc twice (once per join side) — at 100 TB that is
+    # two extra full-corpus passes to verify a tiny candidate set. cand is
+    # persisted (it is output-sized) so the banding subtree runs once; the
+    # semi-join broadcasts when the id set is small (AQE) and degrades to a
+    # shuffle semi-join when it is not — never a driver collect.
+    cand = cand.persist()
+    ids = (cand.select(F.col("id_a").alias(id_col))
+           .union(cand.select(F.col("id_b").alias(id_col))).distinct())
+    needed = df.join(ids, id_col, "left_semi")
+    sh = needed.select(F.col(id_col), shingles.alias("__sh"))
     cand = (
         cand.join(sh.select(F.col(id_col).alias("id_a"),
                             F.col("__sh").alias("sh_a")), "id_a")
