@@ -501,6 +501,98 @@ def q_text_ops(spark, sf_dir):
     )
 
 
+def _sparse_events(spark, sf_dir):
+    """Deterministic sparse-vector column for the densify/top-by-value
+    family: map{event_id % 97 -> value}."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.create_map((F.col("event_id") % 97).cast("long"),
+                     F.col("value")).alias("sv"),
+    )
+
+
+def q_densify(spark, sf_dir):
+    """DensifiedVector: observed sparse indices -> contiguous remap,
+    output exploded as (event_id, new_idx, val)."""
+    from dagli_spark.operators.vector_select import fit_densify
+
+    sp = _sparse_events(spark, sf_dir)
+    m = fit_densify(sp, "sv")
+    out = m.apply(sp, out="dv")
+    return out.select(
+        "event_id", F.explode("dv").alias("new_idx", "val")
+    ).select("event_id", "new_idx", F.round("val", 2).alias("val"))
+
+
+def q_top_by_value(spark, sf_dir):
+    """TopVectorElementsByValue: top-10 sparse indices by summed value."""
+    from dagli_spark.operators.vector_select import fit_top_by_value
+
+    sp = _sparse_events(spark, sf_dir)
+    m = fit_top_by_value(sp, "sv", 10)
+    return m.keep.select(F.col("idx").cast("long").alias("idx"))
+
+
+def q_bucket_index(spark, sf_dir):
+    """BucketIndex: equi-depth DP boundaries over floor(value), applied to
+    every row (DP objective is not SQL-expressible -> rows-only check)."""
+    from dagli_spark.operators.fit import fit_bucket_index
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_int", F.floor("value").cast("int"))
+    m = fit_bucket_index(ev, "value_int", 8)
+    return m.apply(ev, out="bucket").select("event_id", "bucket")
+
+
+def q_multinomial_eval(spark, sf_dir):
+    """MultinomialEvaluation: weighted confusion cells of event_type vs a
+    derived prediction."""
+    from dagli_spark.operators.evaluation import multinomial_evaluation
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "pred",
+        F.when(F.col("value") > 100, F.lit("purchase"))
+         .otherwise(F.col("event_type")),
+    )
+    res = multinomial_evaluation(ev, "event_type", "pred")
+    rows = sorted(
+        ((t, p, float(w)) for (t, p), w in res["confusion"].items())
+    )
+    return spark.createDataFrame(rows, "truth string, pred string, w double")
+
+
+def q_topk_eval(spark, sf_dir):
+    """TopKEvaluation: hit@3 / MRR@3 of the true label among the 10 first
+    embedding components ranked descending."""
+    from dagli_spark.operators.evaluation import topk_evaluation
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = F.array(*[
+        F.struct((-F.element_at("embedding", i + 1).cast("double")).alias("nd"),
+                 F.lit(i).alias("i"))
+        for i in range(10)
+    ])
+    ranked = F.transform(F.array_sort(pairs), lambda s: s["i"])
+    res = topk_evaluation(e.withColumn("ranked", ranked), "label", "ranked", 3)
+    return spark.createDataFrame(
+        [(res["count"], round(res["hit@3"], 6), round(res["mrr@3"], 6))],
+        "n long, hit3 double, mrr3 double",
+    )
+
+
+def q_hamming(spark, sf_dir):
+    """Hamming distance between two derived 64-bit codes (the phash-distance
+    primitive, JVM bit_count — images/phash.py at scale)."""
+    from dagli_spark.operators.dedup import hamming64
+
+    ev = _t(spark, sf_dir, "events")
+    a = (F.col("user_id") * F.lit(2654435761)).cast("long")
+    b = (F.col("event_id") * F.lit(40503)).cast("long")
+    return ev.select(
+        "event_id", hamming64(a, b).cast("int").alias("hamming"))
+
+
 def q_northrule(spark, sf_dir):
     """The flagship image+caption feature pipeline on the deterministic
     smoke fixture (self-contained; generated+cached under /tmp)."""
@@ -556,6 +648,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_centroid": q_nearest_centroid,
         "avg_embedding": q_avg_embedding,
         "text_ops": q_text_ops,
+        "densify": q_densify,
+        "top_by_value": q_top_by_value,
+        "bucket_index": q_bucket_index,
+        "multinomial_eval": q_multinomial_eval,
+        "topk_eval": q_topk_eval,
+        "hamming": q_hamming,
         "northrule_features": q_northrule,
     }
 
@@ -879,6 +977,51 @@ def oracle_sql() -> dict[str, str]:
                      AS has_email
             FROM documents
         """,
+        "densify": """
+            WITH s AS (SELECT event_id, event_id % 97 AS idx, value AS val
+                       FROM events),
+                 d AS (SELECT idx, dense_rank() OVER (ORDER BY idx) - 1
+                                 AS new_idx
+                       FROM (SELECT DISTINCT idx FROM s))
+            SELECT s.event_id, d.new_idx, round(s.val, 2) AS val
+            FROM s JOIN d USING (idx)
+        """,
+        "top_by_value": """
+            SELECT idx FROM (
+                SELECT event_id % 97 AS idx, sum(value) AS s
+                FROM events GROUP BY 1
+                ORDER BY s DESC, idx ASC LIMIT 10)
+        """,
+        "multinomial_eval": """
+            SELECT event_type AS truth,
+                   CASE WHEN value > 100 THEN 'purchase' ELSE event_type END
+                     AS pred,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM events GROUP BY truth, pred
+        """,
+        "topk_eval": """
+            WITH x AS (SELECT label,
+                              list_transform(embedding[1:10],
+                                             e -> CAST(e AS DOUBLE)) AS c,
+                              CAST(embedding[label + 1] AS DOUBLE) AS et
+                       FROM embeddings),
+                 p AS (SELECT 1 + len(list_filter(c, e -> e > et)) AS pos
+                       FROM x)
+            SELECT count(*) AS n,
+                   round(avg(CASE WHEN pos <= 3 THEN 1.0 ELSE 0.0 END), 6)
+                     AS hit3,
+                   round(avg(CASE WHEN pos <= 3 THEN 1.0 / pos ELSE 0.0 END), 6)
+                     AS mrr3
+            FROM p
+        """,
+        "hamming": """
+            SELECT event_id,
+                   CAST(bit_count(xor(CAST(user_id * 2654435761 AS BIGINT),
+                                      CAST(event_id * 40503 AS BIGINT)))
+                        AS INT) AS hamming
+            FROM events
+        """,
+        # bucket_index: equi-depth DP fit not SQL-expressible (rows-only).
         # minhash_pairs / simhash_pairs / knn_lsh / lang_id: xxhash64-family
         # dependent (documented different hash family than the reference's
         # MurmurHash3); kmeans / isotonic / northrule_features: iterative or
