@@ -100,3 +100,21 @@ def test_sources(spark, sf_dir):
     sh = shuffled_reader(ev.select("event_id"), F.col("event_id"), seed=1)
     order = [r["event_id"] for r in sh.collect()]
     assert order != sorted(order) and sorted(order) == list(range(n))
+
+
+def test_iceberg_fallback_roundtrip(spark, sf_dir):
+    """No Iceberg runtime in this sandbox: write_table/read_table must
+    degrade to partitioned parquet with the same table-level API."""
+    from dagli_spark.sources.iceberg import (
+        catalog_conf, iceberg_available, read_table, write_table,
+    )
+
+    assert not iceberg_available(spark)  # sandbox has no runtime jar
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(100)
+    ident = write_table(ev, "lake.feat.events_smoke",
+                        partition_by=["event_type"])
+    back = read_table(spark, "lake.feat.events_smoke")
+    assert back.count() == 100
+    assert set(back.columns) == set(ev.columns)
+    conf = catalog_conf("lake", "/tmp/wh")
+    assert conf["spark.sql.catalog.lake"].endswith("SparkCatalog")
