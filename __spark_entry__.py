@@ -581,6 +581,18 @@ def q_topk_eval(spark, sf_dir):
     )
 
 
+def q_indices(spark, sf_dir):
+    """Indices: the Index dictionary fitted over exploded token lists,
+    applied back element-wise (order preserved)."""
+    from dagli_spark.operators.fit import fit_indices
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens("text").alias("toks"))
+    m = fit_indices(d, "toks")
+    return m.apply(d, out="ids").select(
+        "doc_id", F.col("ids").cast("array<long>").alias("ids"))
+
+
 def q_hamming(spark, sf_dir):
     """Hamming distance between two derived 64-bit codes (the phash-distance
     primitive, JVM bit_count — images/phash.py at scale)."""
@@ -653,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_index": q_bucket_index,
         "multinomial_eval": q_multinomial_eval,
         "topk_eval": q_topk_eval,
+        "indices": q_indices,
         "hamming": q_hamming,
         "northrule_features": q_northrule,
     }
@@ -1013,6 +1026,23 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN pos <= 3 THEN 1.0 / pos ELSE 0.0 END), 6)
                      AS mrr3
             FROM p
+        """,
+        "indices": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split(trim(text), ' '),
+                                          x -> x <> '') AS toks
+                       FROM documents),
+                 e AS (SELECT doc_id, unnest(toks) AS tok,
+                              generate_subscripts(toks, 1) AS pos
+                       FROM t),
+                 d AS (SELECT tok,
+                              row_number() OVER (ORDER BY cnt DESC, tok ASC) - 1
+                                AS id
+                       FROM (SELECT tok, count(*) AS cnt FROM e GROUP BY tok)),
+                 ids AS (SELECT e.doc_id, list(d.id ORDER BY e.pos) AS ids
+                         FROM e JOIN d USING (tok) GROUP BY e.doc_id)
+            SELECT t.doc_id, coalesce(ids.ids, []) AS ids
+            FROM t LEFT JOIN ids USING (doc_id)
         """,
         "hamming": """
             SELECT event_id,

@@ -35,6 +35,8 @@ HEADLINE = [
     "top_tokens",
     "exact_dedup",
     "minhash_pairs",
+    "simhash_pairs",
+    "kfold_target_encode",
     "knn_bruteforce",
     "northrule_features",
 ]

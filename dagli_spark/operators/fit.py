@@ -72,6 +72,83 @@ def fit_index(
     return IndexModel(col, ranked.select("value", "id"), unknown_id)
 
 
+def mapped_iterable_apply(
+    df: DataFrame, arr_col: str, apply_fn, *, out: str | None = None,
+    element_col: str = "__elem", id_out: str = "__elem_out",
+) -> DataFrame:
+    """Lift a row-level transformation over a per-row array column —
+    MappedIterable with a TRAINABLE inner op (core/.../transformer/
+    MappedIterable.java:22-36; the prepared-inner case is just
+    ``F.transform``, see dagli_spark.functions.core.mapped_iterable).
+
+    Shape: posexplode -> ``apply_fn(exploded_df)`` must attach ``id_out``
+    per element (typically a broadcast-dictionary join) -> regroup ordered
+    by position. Row alignment is preserved for every row including empty /
+    null arrays (Dagli's one-result-per-example contract,
+    documentation/dag.md:12-13)."""
+    out = out or f"{arr_col}_mapped"
+    rid = "__mi_rid"
+    src = df.withColumn(rid, F.monotonically_increasing_id())
+    ex = src.select(rid, F.posexplode_outer(F.col(arr_col))
+                    .alias("__pos", element_col))
+    applied = apply_fn(ex)
+    # drop the null-position placeholder emitted by posexplode_outer for
+    # empty/null arrays — those rows regroup to [] via the coalesce below
+    applied = applied.where(F.col("__pos").isNotNull())
+    packed = applied.groupBy(rid).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("__pos").alias("pos"), F.col(id_out).alias("v")))),
+            lambda s: s["v"],
+        ).alias(out)
+    )
+    return src.join(packed, rid, "left").drop(rid).withColumn(
+        out, F.coalesce(F.col(out), F.array().cast(
+            packed.schema[out].dataType))
+    )
+
+
+@dataclass
+class IndicesModel:
+    """Indices (common/.../object/Indices.java:12-29): the Index dictionary
+    fitted over every ELEMENT of an array column; apply maps each row's
+    array to an id array (order preserved, unknowns -> unknown_id)."""
+    col: str
+    mapping: DataFrame  # value, id
+    unknown_id: int
+
+    def apply(self, df: DataFrame, *, out: str | None = None) -> DataFrame:
+        out = out or f"{self.col}_indices"
+
+        def per_element(ex: DataFrame) -> DataFrame:
+            m = F.broadcast(self.mapping.withColumnRenamed("value", "__elem")
+                            .withColumnRenamed("id", "__elem_out"))
+            j = ex.join(m, on="__elem", how="left")
+            return j.withColumn(
+                "__elem_out",
+                F.when(F.col("__elem").isNotNull(),
+                       F.coalesce(F.col("__elem_out"),
+                                  F.lit(self.unknown_id))),
+            )
+
+        return mapped_iterable_apply(df, self.col, per_element, out=out)
+
+
+def fit_indices(
+    df: DataFrame, arr_col: str, *, min_freq: int = 1,
+    max_unique: int | None = None, unknown_policy: str = "new",
+    unknown_id: int | None = None,
+) -> IndicesModel:
+    """Fit the Index dictionary over exploded array elements (element counts
+    aggregate map-side; the dictionary is broadcast back in apply)."""
+    elems = df.select(F.explode(F.col(arr_col)).alias(arr_col)) \
+        .where(F.col(arr_col).isNotNull())  # null elements stay null in apply
+    inner = fit_index(elems, arr_col, min_freq=min_freq,
+                      max_unique=max_unique, unknown_policy=unknown_policy,
+                      unknown_id=unknown_id)
+    return IndicesModel(arr_col, inner.mapping, inner.unknown_id)
+
+
 # ---------------------------------------------------------------- Multiplicity / Multiset
 
 def multiplicity(df: DataFrame, col: str, *, out: str | None = None) -> DataFrame:

@@ -203,3 +203,29 @@ def test_replaced_substrings_and_phone(spark):
     ).first()
     assert r["rb"] == "X Y"
     assert r["ph"] is True and r["nph"] is False
+
+
+# --------------------------------------------------- Indices / MappedIterable
+
+def test_fit_indices_golden(spark):
+    """Reference Indices semantics (common/.../object/Indices.java:12-29):
+    per-element dictionary ids, order preserved, empty lists -> [],
+    unseen elements -> unknown_id, null elements stay null."""
+    from dagli_spark.operators.fit import fit_indices
+
+    df = spark.createDataFrame(
+        [(0, ["a", "b", "a"]), (1, []), (2, ["c", None, "a"]), (3, None)],
+        "id int, toks array<string>")
+    m = fit_indices(df, "toks")
+    probe = spark.createDataFrame(
+        [(0, ["a", "zzz", "b"]), (1, [])], "id int, toks array<string>")
+    got = {r["id"]: r["out"]
+           for r in m.apply(probe, out="out").collect()}
+    # counts: a=3, b=1, c=1 -> ids a=0, b=1, c=2; unknown=3
+    assert got[0] == [0, 3, 1]
+    assert got[1] == []
+    train_got = {r["id"]: r["out"] for r in m.apply(df, out="out").collect()}
+    assert train_got[0] == [0, 1, 0]
+    assert train_got[1] == []
+    assert train_got[2] == [2, None, 0]
+    assert train_got[3] == []
