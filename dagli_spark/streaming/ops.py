@@ -66,6 +66,37 @@ def streaming_session_agg(
     )
 
 
+def streaming_windowed_agg(
+    events: DataFrame, *, entity_col: str = "entity_id",
+    time_col: str = "event_time", window: str = "1 hour",
+    slide: str | None = None, watermark: str = "1 hour",
+    value_col: str = "label",
+) -> DataFrame:
+    """Per-(entity, time-window) aggregate — tumbling (default) or sliding
+    (``slide`` < ``window``) — the streaming counterpart of the batch
+    rolling range frame (dagli_spark.operators.window_features.rolling).
+    Watermarking bounds state: windows older than the frontier finalize and
+    evict, so state is O(entities × open windows), not history-sized."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(time_col, watermark)
+    win = (F.window(F.col(time_col), window, slide) if slide
+           else F.window(F.col(time_col), window))
+    return (
+        src.groupBy(F.col(entity_col), win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias(f"sum_{value_col}"),
+        )
+        .select(
+            entity_col,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events", f"sum_{value_col}",
+        )
+    )
+
+
 _LOCF_OUTPUT = StructType([
     StructField("entity_id", StringType()),
     StructField("event_time", TimestampType()),

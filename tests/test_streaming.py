@@ -62,3 +62,21 @@ def test_streaming_locf_matches_batch_window(spark):
     a = sorted(str(r) for r in got_u.collect())
     b = sorted(str(r) for r in exp_u.collect())
     assert a == b and len(a) > 0
+
+
+def test_streaming_windowed_agg_matches_batch(spark):
+    from dagli_spark.streaming.ops import streaming_windowed_agg
+
+    paths = materialize(spark, "smoke")
+    batch = spark.read.parquet(paths["image_events"])
+    got_batch = streaming_windowed_agg(batch, window="2 hours", slide="1 hour")
+
+    sdf = _stream_from_parquet(spark, paths["image_events"])
+    got_stream = _run_stream(
+        spark, streaming_windowed_agg(sdf, window="2 hours", slide="1 hour"),
+        "winagg")
+
+    cols = ["entity_id", "window_start", "window_end", "n_events", "sum_label"]
+    a = sorted(str(r) for r in got_batch.select(*cols).collect())
+    b = sorted(str(r) for r in got_stream.select(*cols).collect())
+    assert a == b and len(a) > 0
