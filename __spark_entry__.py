@@ -589,8 +589,12 @@ def q_indices(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", T.tokens("text").alias("toks"))
     m = fit_indices(d, "toks")
-    return m.apply(d, out="ids").select(
-        "doc_id", F.col("ids").cast("array<long>").alias("ids"))
+    out = m.apply(d, out="ids")
+    # exploded scalar rows (doc_id, pos, id): array-free output so the
+    # driver's value-hash is format-independent across engines
+    return out.select(
+        "doc_id", F.posexplode(F.col("ids").cast("array<long>"))
+        .alias("pos", "id"))
 
 
 def q_hamming(spark, sf_dir):
@@ -1033,16 +1037,14 @@ def oracle_sql() -> dict[str, str]:
                                           x -> x <> '') AS toks
                        FROM documents),
                  e AS (SELECT doc_id, unnest(toks) AS tok,
-                              generate_subscripts(toks, 1) AS pos
+                              generate_subscripts(toks, 1) - 1 AS pos
                        FROM t),
                  d AS (SELECT tok,
                               row_number() OVER (ORDER BY cnt DESC, tok ASC) - 1
                                 AS id
-                       FROM (SELECT tok, count(*) AS cnt FROM e GROUP BY tok)),
-                 ids AS (SELECT e.doc_id, list(d.id ORDER BY e.pos) AS ids
-                         FROM e JOIN d USING (tok) GROUP BY e.doc_id)
-            SELECT t.doc_id, coalesce(ids.ids, []) AS ids
-            FROM t LEFT JOIN ids USING (doc_id)
+                       FROM (SELECT tok, count(*) AS cnt FROM e GROUP BY tok))
+            SELECT e.doc_id, e.pos, d.id
+            FROM e JOIN d USING (tok)
         """,
         "hamming": """
             SELECT event_id,
