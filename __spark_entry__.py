@@ -371,6 +371,17 @@ def q_knn_lsh(spark, sf_dir):
     return knn_lsh(probes, e, dim=64, k=3)
 
 
+def q_knn_ivf(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer + multi-probe): iterative fit ->
+    rows-only check; exhaustive-probe equivalence to brute force is pinned
+    in tests/test_meta_vector_text.py."""
+    from dagli_spark.operators.similarity import knn_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 10)
+    return knn_ivf(probes, e, k=3, n_centroids=8, n_probe=3)
+
+
 def q_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", T.lang_id_heuristic("text").alias("lang_guess"))
@@ -652,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "lang_id": q_lang_id,
         "rank_limited": q_rank_limited,
         "dict_value": q_dict_value,

@@ -229,3 +229,25 @@ def test_fit_indices_golden(spark):
     assert train_got[1] == []
     assert train_got[2] == [2, None, 0]
     assert train_got[3] == []
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+def test_knn_ivf_recall_vs_bruteforce(spark):
+    """IVF with n_probe == n_centroids is exhaustive (must equal brute
+    force); with fewer probes recall@3 stays high on clustered data."""
+    import os
+
+    from dagli_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    e = spark.read.parquet(f"{sf}/sf0.001/embeddings.parquet")
+    probes = e.where(F.col("vec_id") < 8)
+    exact = knn_bruteforce(probes, e, k=3)
+    full = knn_ivf(probes, e, k=3, n_centroids=4, n_probe=4, seed=7)
+    a = sorted(map(str, exact.select("query_id", "neighbor_id", "rank").collect()))
+    b = sorted(map(str, full.select("query_id", "neighbor_id", "rank").collect()))
+    assert a == b
+    approx = knn_ivf(probes, e, k=3, n_centroids=4, n_probe=2, seed=7)
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hits >= 0.5 * exact.count()  # clustered fixture -> decent recall
