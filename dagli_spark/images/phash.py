@@ -61,6 +61,28 @@ def phash_batch(images: list) -> np.ndarray:
     return np.array([phash64(a) for a in images], dtype=np.int64)
 
 
+def phash64_stack(stack: np.ndarray) -> np.ndarray:
+    """Batched phash over a (B, h, w, 3) uint8 stack of SAME-SHAPE images —
+    one batched matmul instead of B Python round-trips; bit-identical to
+    :func:`phash64` per image (each reduction covers the same elements in
+    the same order)."""
+    b, h, w, _ = stack.shape
+    gray = stack.astype(np.float64).mean(axis=3)
+    if h % 32 == 0 and w % 32 == 0:
+        small = gray.reshape(b, 32, h // 32, 32, w // 32).mean(axis=(2, 4))
+    else:
+        ys = (np.arange(32) * h // 32)
+        xs = (np.arange(32) * w // 32)
+        small = gray[:, ys][:, :, xs]
+    d = _dct_matrix()
+    coef = np.matmul(np.matmul(d, small), d.T)       # (B, 32, 32)
+    flat = coef[:, :8, :8].reshape(b, 64)
+    med = np.median(flat[:, 1:], axis=1)
+    bits = (flat > med[:, None]).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return (bits * weights).sum(axis=1).astype(np.int64)
+
+
 def phash_to_vector(h) -> np.ndarray:
     """64-dim float32 ±1 embedding from the hash bits — the 'phash-derived
     embedding' of the north star. Works on scalars or arrays."""
