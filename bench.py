@@ -24,7 +24,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# northrule (the headline fv/sec metric) runs first after warmup so the
+# measurement is not skewed by JVM/worker state left by unrelated queries
 HEADLINE = [
+    "northrule_features",
     "asof_strict",
     "asof_bucketed",
     "sessionize",
@@ -38,7 +41,6 @@ HEADLINE = [
     "simhash_pairs",
     "kfold_target_encode",
     "knn_bruteforce",
-    "northrule_features",
 ]
 
 _FIXTURE_SCALE = {"sf0.001": "smoke", "sf0.01": "correctness", "sf0.1": "bench"}
@@ -91,6 +93,9 @@ def main() -> None:
             _noop_write(qmap[name](spark, sf_dir))
             dt = time.time() - t0
         timings[name] = round(dt, 3)
+        # queries are independent: drop persisted intermediates (e.g. the
+        # dedup candidate sets) so no query pays for a predecessor's cache
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     out = {
