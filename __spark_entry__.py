@@ -592,6 +592,13 @@ def q_topk_eval(spark, sf_dir):
     )
 
 
+def q_word_ngrams(spark, sf_dir):
+    """NgramVector's shingle primitive: word 3-grams, exploded."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(T.word_ngrams("text", 3)).alias("ngram"))
+
+
 def q_indices(spark, sf_dir):
     """Indices: the Index dictionary fitted over exploded token lists,
     applied back element-wise (order preserved)."""
@@ -681,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_index": q_bucket_index,
         "multinomial_eval": q_multinomial_eval,
         "topk_eval": q_topk_eval,
+        "word_ngrams": q_word_ngrams,
         "indices": q_indices,
         "hamming": q_hamming,
         "northrule_features": q_northrule,
@@ -1042,6 +1050,16 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN pos <= 3 THEN 1.0 / pos ELSE 0.0 END), 6)
                      AS mrr3
             FROM p
+        """,
+        "word_ngrams": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split(trim(text), ' '),
+                                          x -> x <> '') AS toks
+                       FROM documents)
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' '))) AS ngram
+            FROM t
         """,
         "indices": """
             WITH t AS (SELECT doc_id,
