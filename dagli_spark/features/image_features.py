@@ -100,13 +100,21 @@ def _features_batch(datas: "pd.Series") -> list[tuple]:
     return out
 
 
-def with_decode_features(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+def with_decode_features(df: DataFrame, bytes_col: str = "bytes",
+                         *, drop_bytes: bool = True) -> DataFrame:
     """Decode + pixel statistics + recomputed phash, appended to every row.
 
     mapInPandas iterator-of-batches: per-task constants are initialized
-    once; each Arrow batch is processed as a unit."""
-    out_schema = StructType(list(df.schema.fields) + DECODE_FIELDS)
+    once; each Arrow batch is processed as a unit. With ``drop_bytes``
+    (default) the binary payload is consumed inside the UDF and NOT echoed
+    back — otherwise every image crosses the Arrow boundary twice, and the
+    JVM->Python->JVM round trip of the fat column costs ~10x the actual
+    decode at scale."""
+    keep = [f for f in df.schema.fields
+            if not (drop_bytes and f.name == bytes_col)]
+    out_schema = StructType(keep + DECODE_FIELDS)
     names = [f.name for f in DECODE_FIELDS]
+    keep_names = [f.name for f in keep]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -114,7 +122,7 @@ def with_decode_features(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
                 continue
             feats = _features_batch(pdf[bytes_col])
             fdf = pd.DataFrame(feats, columns=names, index=pdf.index)
-            yield pd.concat([pdf, fdf], axis=1)
+            yield pd.concat([pdf[keep_names], fdf], axis=1)
 
     return df.mapInPandas(gen, schema=out_schema)
 
