@@ -545,6 +545,21 @@ def q_top_by_value(spark, sf_dir):
     return m.keep.select(F.col("idx").cast("long").alias("idx"))
 
 
+def q_top_by_pmi(spark, sf_dir):
+    """TopVectorElementsByPMI: top-10 sparse indices by pointwise mutual
+    information with a binary label (value > 100)."""
+    from dagli_spark.operators.vector_select import fit_top_by_pmi
+
+    sp = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.create_map((F.col("event_id") % 97).cast("long"),
+                     F.col("value")).alias("sv"),
+        (F.col("value") > 100).cast("int").alias("y"),
+    )
+    m = fit_top_by_pmi(sp, "sv", "y", 10)
+    return m.keep.select(F.col("idx").cast("long").alias("idx"))
+
+
 def q_bucket_index(spark, sf_dir):
     """BucketIndex: equi-depth DP boundaries over floor(value), applied to
     every row (DP objective is not SQL-expressible -> rows-only check)."""
@@ -685,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ops": q_text_ops,
         "densify": q_densify,
         "top_by_value": q_top_by_value,
+        "top_by_pmi": q_top_by_pmi,
         "bucket_index": q_bucket_index,
         "multinomial_eval": q_multinomial_eval,
         "topk_eval": q_topk_eval,
@@ -1028,6 +1044,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_id % 97 AS idx, sum(value) AS s
                 FROM events GROUP BY 1
                 ORDER BY s DESC, idx ASC LIMIT 10)
+        """,
+        "top_by_pmi": """
+            WITH s AS (SELECT event_id % 97 AS idx, value AS val,
+                              CAST(value > 100 AS INT) AS y FROM events),
+                 tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                                CAST(sum(y) AS DOUBLE) AS ny FROM s),
+                 co AS (SELECT idx, CAST(count(*) AS DOUBLE) AS n_x,
+                               CAST(sum(y) AS DOUBLE) AS n_xy
+                        FROM s WHERE val <> 0 GROUP BY idx)
+            SELECT idx FROM (
+                SELECT co.idx,
+                       ln(((n_xy + 1.0) / n)
+                          / (((n_x + 1.0) / n) * (ny / n))) AS pmi
+                FROM co, tot
+                ORDER BY pmi DESC, idx ASC LIMIT 10)
         """,
         "multinomial_eval": """
             SELECT event_type AS truth,
