@@ -614,6 +614,13 @@ def q_word_ngrams(spark, sf_dir):
         "doc_id", F.explode(T.word_ngrams("text", 3)).alias("ngram"))
 
 
+def q_char_ngrams(spark, sf_dir):
+    """CharacterNgramVector's primitive: char 3-grams, exploded."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(T.char_ngrams("text", 3)).alias("ngram"))
+
+
 def q_indices(spark, sf_dir):
     """Indices: the Index dictionary fitted over exploded token lists,
     applied back element-wise (order preserved)."""
@@ -705,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multinomial_eval": q_multinomial_eval,
         "topk_eval": q_topk_eval,
         "word_ngrams": q_word_ngrams,
+        "char_ngrams": q_char_ngrams,
         "indices": q_indices,
         "hamming": q_hamming,
         "northrule_features": q_northrule,
@@ -1091,6 +1099,12 @@ def oracle_sql() -> dict[str, str]:
                    unnest(list_transform(range(1, len(toks) - 1),
                           i -> array_to_string(toks[i:i+2], ' '))) AS ngram
             FROM t
+        """,
+        "char_ngrams": """
+            SELECT doc_id,
+                   unnest(list_transform(range(1, length(text) - 1),
+                          i -> text[i:i+2])) AS ngram
+            FROM documents
         """,
         "indices": """
             WITH t AS (SELECT doc_id,
