@@ -449,6 +449,18 @@ def q_isotonic(spark, sf_dir):
                                          F.round("cal", 4).alias("cal"))
 
 
+def q_normalized(spark, sf_dir):
+    """The reference's canonical NormalizedDouble example
+    (examples/assorted/.../NormalizedDouble.java): fit min/max, scale to
+    [0,1]."""
+    from dagli_spark.operators.fit import fit_normalized
+
+    ev = _t(spark, sf_dir, "events")
+    m = fit_normalized(ev, "value")
+    return m.apply(ev, out="v_norm").select(
+        "event_id", F.round("v_norm", 6).alias("v_norm"))
+
+
 def q_grouped_mean(spark, sf_dir):
     """PreparedByGroup (meta family): fit avg(value) per event_type, apply
     routes rows to their group's fitted state (broadcast join)."""
@@ -700,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_auc": q_binary_auc,
         "kmeans": q_kmeans,
         "isotonic": q_isotonic,
+        "normalized": q_normalized,
         "grouped_mean": q_grouped_mean,
         "kfold_target_encode": q_kfold_target_encode,
         "nearest_centroid": q_nearest_centroid,
@@ -988,6 +1001,13 @@ def oracle_sql() -> dict[str, str]:
                      AS auc,
                    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS INT) AS n_pos
             FROM j
+        """,
+        "normalized": """
+            SELECT event_id,
+                   round((value - min(value) OVER ())
+                         / (max(value) OVER () - min(value) OVER ()), 6)
+                     AS v_norm
+            FROM events
         """,
         "grouped_mean": """
             SELECT event_id,

@@ -186,6 +186,37 @@ def multiset(df: DataFrame, col: str) -> DataFrame:
     return df.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("count"))
 
 
+@dataclass
+class NormalizedModel:
+    """The reference's canonical example preparable
+    (examples/assorted/.../NormalizedDouble.java): scale/shift to [0, 1]
+    against the fitted min/max; out-of-range clips; min == max -> 0.0;
+    fitted on zero rows -> (min, max) = (0, 1); infinite fitted bounds
+    propagate NaN through float arithmetic — all per the reference's own
+    Tester cases (NormalizedDoubleTest.java)."""
+    col: str
+    mn: float
+    mx: float
+
+    def apply(self, df: DataFrame, *, out: str | None = None) -> DataFrame:
+        out = out or f"{self.col}_norm"
+        if self.mn == self.mx:
+            return df.withColumn(out, F.lit(0.0))
+        scaled = (F.col(self.col) - F.lit(self.mn)) / F.lit(self.mx - self.mn)
+        # Java's Math.min/max propagate NaN; Spark's least/greatest treat
+        # NaN as the largest double (least(1.0, NaN) = 1.0) — guard it
+        clipped = F.when(F.isnan(scaled), scaled).otherwise(
+            F.least(F.lit(1.0), F.greatest(F.lit(0.0), scaled)))
+        return df.withColumn(out, clipped)
+
+
+def fit_normalized(df: DataFrame, col: str) -> NormalizedModel:
+    row = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).first()
+    if row["mn"] is None:  # no examples: reference defaults (0, 1)
+        return NormalizedModel(col, 0.0, 1.0)
+    return NormalizedModel(col, float(row["mn"]), float(row["mx"]))
+
+
 # ---------------------------------------------------------------- Min/Max & order statistics
 
 def fit_min_max(df: DataFrame, col: str) -> tuple:

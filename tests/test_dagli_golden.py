@@ -285,3 +285,47 @@ def test_isotonic_monotone_and_calibrated(spark):
     cals = [r["cal"] for r in out]
     assert all(b >= a - 1e-12 for a, b in zip(cals, cals[1:]))
     assert 0.0 <= cals[0] <= cals[-1] <= 1.0
+
+
+def test_normalized_double_reference_example(spark):
+    """The reference's canonical end-to-end example, all five Tester cases
+    (examples/assorted/.../NormalizedDouble.java + NormalizedDoubleTest.java),
+    run through the Pipeline DSL."""
+    import math
+
+    from dagli_spark.operators.fit import fit_normalized
+    from dagli_spark.pipeline import Pipeline, PreparableStage
+
+    def frame(vals):
+        return spark.createDataFrame([(float(v),) for v in vals], "v double")
+
+    def apply_vals(model, vals):
+        rows = model.apply(frame(vals), out="n").collect()
+        return [r["n"] for r in rows]
+
+    # 1: prepared with no inputs -> default (min, max) = (0, 1)
+    m = fit_normalized(frame([]).where("v > 1"), "v")
+    assert (m.mn, m.mx) == (0.0, 1.0)
+
+    # 2: single distinct value -> everything maps to 0.0
+    m = fit_normalized(frame([5.0, 5.0]), "v")
+    assert apply_vals(m, [-3.0, 5.0, 9.0]) == [0.0, 0.0, 0.0]
+
+    # 3: both infinities fitted -> all outputs NaN
+    m = fit_normalized(frame([5.0, float("-inf"), float("inf")]), "v")
+    assert all(math.isnan(x)
+               for x in apply_vals(m, [5.0, float("-inf"), float("inf")]))
+
+    # 4: positive infinity only -> finite inputs 0.0, +inf input NaN
+    m = fit_normalized(frame([5.0, -5.0, float("inf")]), "v")
+    got = apply_vals(m, [5.0, -5.0, float("inf")])
+    assert got[0] == 0.0 and got[1] == 0.0 and math.isnan(got[2])
+
+    # 5: finite inputs (and out-of-range probes clip), via the Pipeline DSL
+    stage = PreparableStage(
+        "normalize", lambda d: fit_normalized(d, "v"),
+        lambda m_, d: m_.apply(d, out="n"))
+    fitted, train_out = Pipeline([stage]).fit_transform(frame([5.0, 1.0, -5.0]))
+    assert sorted(r["n"] for r in train_out.collect()) == [0.0, 0.6, 1.0]
+    probe = fitted.transform(frame([-8.0, 8.0])).collect()
+    assert sorted(r["n"] for r in probe) == [0.0, 1.0]
