@@ -17,7 +17,9 @@ A from-scratch reimagining of the capabilities of linkedin/dagli
 - Dagli's anti-leakage contract (KFoldCrossTrained,
   common/src/main/java/com/linkedin/dagli/meta/KFoldCrossTrained.java:30-63)
   generalizes to event time: no feature at (entity, t) may read rows with
-  event_time > t — enforced and audited in :mod:`dagli_spark.leakage`.
+  event_time > t — enforced by construction (every window frame ends at the
+  current row; the as-of join admits only event_time <= asof_time) and
+  audited at runtime by :func:`dagli_spark.northrule.leakage_audit`.
 
 Everything here is built on public PySpark 4.x APIs only.
 """
