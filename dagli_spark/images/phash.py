@@ -15,18 +15,18 @@ from __future__ import annotations
 
 import numpy as np
 
-_DCT32 = None
+_DCT_CACHE: dict = {}
 
 
 def _dct_matrix(n: int = 32) -> np.ndarray:
-    global _DCT32
-    if _DCT32 is None:
+    m = _DCT_CACHE.get(n)
+    if m is None:
         k = np.arange(n)[:, None]
         i = np.arange(n)[None, :]
         m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
         m[0, :] = np.sqrt(1.0 / n)
-        _DCT32 = m
-    return _DCT32
+        _DCT_CACHE[n] = m
+    return m
 
 
 def _resize_32(gray: np.ndarray) -> np.ndarray:

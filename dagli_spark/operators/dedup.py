@@ -27,10 +27,19 @@ def exact_dedup(
     (deterministic). Single hash-aggregate: at 100 TB the 64-bit
     fingerprint groups instead of the full text bytes, so the shuffle
     carries 8-byte keys."""
-    key = fingerprint(text_col) if normalized else F.xxhash64(F.col(text_col))
-    w = df.withColumn("__fp", key)
-    keep = w.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    return w.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
+    # Two independent 64-bit fingerprints: grouping on a single hash stops
+    # being exact around billions of docs (64-bit birthday collisions would
+    # silently delete distinct documents); a combined 128 bits keeps the
+    # shuffle key fixed-width while making collisions (~2^-128) negligible.
+    if normalized:
+        k1, k2 = fingerprint(text_col), fingerprint(text_col, seed=0x9E3779B9)
+    else:
+        c = F.col(text_col)
+        k1, k2 = F.xxhash64(c), F.xxhash64(F.lit(0x9E3779B9), c)
+    w = df.withColumn("__fp1", k1).withColumn("__fp2", k2)
+    keep = w.groupBy("__fp1", "__fp2").agg(F.min(id_col).alias(id_col))
+    return w.join(keep, ["__fp1", "__fp2", id_col], "left_semi") \
+        .drop("__fp1", "__fp2")
 
 
 def minhash_signature(
@@ -66,6 +75,11 @@ def minhash_lsh_pairs(
     """Near-duplicate candidate pairs by MinHash LSH, verified with exact
     shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b and
     jaccard >= threshold."""
+    if not 1 <= bands <= num_hashes or num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): "
+            "rows_per_band of 0 would make every band key constant and the "
+            "candidate self-join a full cross product")
     rows_per_band = num_hashes // bands
     shingles = F.array_distinct(word_ngrams(text_col, shingle))
     sig = minhash_signature(df, text_col, id_col, shingle=shingle,
@@ -94,6 +108,8 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # Verify only candidate docs: without the semi-filter the shingle arrays
+    # (cand stays persisted for the life of the session — call
+    # spark.catalog.clearCache() between independent jobs, as bench.py does)
     # are built for EVERY doc twice (once per join side) — at 100 TB that is
     # two extra full-corpus passes to verify a tiny candidate set. cand is
     # persisted (it is output-sized) so the banding subtree runs once; the

@@ -87,25 +87,34 @@ def mapped_iterable_apply(
     null arrays (Dagli's one-result-per-example contract,
     documentation/dag.md:12-13)."""
     out = out or f"{arr_col}_mapped"
-    rid = "__mi_rid"
-    src = df.withColumn(rid, F.monotonically_increasing_id())
-    ex = src.select(rid, F.posexplode_outer(F.col(arr_col))
-                    .alias("__pos", element_col))
+    rid, payload = "__mi_rid", "__mi_row"
+    # Single linear plan: the source row rides through the explode packed in
+    # one struct and is regrouped by a row id that has exactly ONE consumer.
+    # (A join-back design would evaluate the id-assignment twice; if the
+    # upstream's row order is not deterministic — shuffle output, task retry
+    # — the two evaluations disagree and rows silently receive another
+    # row's array.)
+    src = df.select(
+        F.monotonically_increasing_id().alias(rid),
+        F.struct(*df.columns).alias(payload),
+        F.col(arr_col),
+    )
+    ex = src.select(
+        rid, payload,
+        F.posexplode_outer(F.col(arr_col)).alias("__pos", element_col),
+    )
     applied = apply_fn(ex)
-    # drop the null-position placeholder emitted by posexplode_outer for
-    # empty/null arrays — those rows regroup to [] via the coalesce below
-    applied = applied.where(F.col("__pos").isNotNull())
+    # null-position placeholder rows (empty/null arrays) regroup to []
+    mapped = F.array_sort(F.collect_list(F.struct(
+        F.col("__pos").alias("pos"), F.col(id_out).alias("v"))))
     packed = applied.groupBy(rid).agg(
+        F.first(payload).alias(payload),
         F.transform(
-            F.array_sort(F.collect_list(F.struct(
-                F.col("__pos").alias("pos"), F.col(id_out).alias("v")))),
+            F.filter(mapped, lambda s: s["pos"].isNotNull()),
             lambda s: s["v"],
-        ).alias(out)
+        ).alias(out),
     )
-    return src.join(packed, rid, "left").drop(rid).withColumn(
-        out, F.coalesce(F.col(out), F.array().cast(
-            packed.schema[out].dataType))
-    )
+    return packed.select(F.col(f"{payload}.*"), F.col(out))
 
 
 @dataclass
@@ -251,8 +260,6 @@ class RankModel:
     def apply(self, df: DataFrame, *, out: str | None = None) -> DataFrame:
         out = out or f"{self.col}_rank"
         c = F.broadcast(self.cumulative)
-        # rank(probe) = below(largest fitted value <= probe) + (probe > that value ? count_at : 0)
-        # simpler exact formulation: join on value when present; else range lookup.
         probe = df
         j = probe.join(
             c.select(F.col("value").alias(self.col), F.col("below"),
@@ -260,22 +267,35 @@ class RankModel:
             on=self.col, how="left",
         )
         # exact-match probes rank = below; non-matching probes need the
-        # range fallback: below of the greatest fitted value < probe + its cnt
+        # range fallback: below of the greatest fitted value < probe + its
+        # cnt. The fallback regroups by a row id assigned INSIDE this branch
+        # (single linear consumer), never by the probe's own columns —
+        # grouping on payload columns would collapse duplicate probe rows
+        # and break the one-result-per-row contract.
         fallback = c.select(
             F.col("value").alias("__rv"),
             (F.col("below") + F.col("cnt")).alias("__rank_after"),
         )
-        missing = j.where(F.col("below").isNull()).drop("below", "cnt")
-        if missing.isEmpty():
-            return j.withColumn(out, F.col("below")).drop("below", "cnt")
         matched = j.where(F.col("below").isNotNull()) \
             .withColumn(out, F.col("below")).drop("below", "cnt")
+        rid = "__rank_rid"
+        missing = (
+            j.where(F.col("below").isNull()).drop("below", "cnt")
+            .withColumn(rid, F.monotonically_increasing_id())
+        )
         rank_expr = F.coalesce(F.max("__rank_after"), F.lit(0))
         if self.limit is not None:
             rank_expr = F.least(rank_expr, F.lit(self.limit))
-        mj = missing.join(
-            F.broadcast(fallback), F.col(self.col) > F.col("__rv"), "left"
-        ).groupBy(*missing.columns).agg(rank_expr.alias(out))
+        mj = (
+            missing.join(F.broadcast(fallback),
+                         F.col(self.col) > F.col("__rv"), "left")
+            .groupBy(rid)
+            .agg(rank_expr.alias(out),
+                 *[F.first(col).alias(col) for col in missing.columns
+                   if col != rid])
+            .drop(rid)
+            .select(*matched.columns)
+        )
         return matched.unionByName(mj)
 
 

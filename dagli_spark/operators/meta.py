@@ -111,7 +111,11 @@ def kfold_target_encode(
         df, group_col or key_col, k, seed=seed, out=fold_col, method=method
     )
     partials = routed.groupBy(key_col, fold_col).agg(
-        F.sum(target_col).alias("__s"), F.count(target_col).alias("__c")
+        # a fold whose targets are all null must contribute (0, 0), not
+        # null — a null partial would poison the window subtraction and
+        # null out encodings for rows that DO have other-fold data
+        F.coalesce(F.sum(target_col), F.lit(0.0)).alias("__s"),
+        F.count(target_col).alias("__c"),
     )
     wk = Window.partitionBy(key_col)
     others = partials.select(

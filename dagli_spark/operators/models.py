@@ -64,6 +64,9 @@ def fit_kmeans(
         .orderBy("__u").limit(k).collect()
     )
     centers = [list(map(float, r[vec_col])) for r in sample]
+    if not centers:
+        raise ValueError("fit_kmeans: input has no rows")
+    k = min(k, len(centers))  # fewer rows than requested clusters
     model = KMeansModel(vec_col, centers)
     for _ in range(max_iter):
         assigned = model.apply(df.select(vec_col), out="__c")

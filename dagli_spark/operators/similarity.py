@@ -87,6 +87,14 @@ def lsh_bucket(df: DataFrame, vec_col: str, dim: int, *,
     return df.withColumn(out, bucket)
 
 
+def _table_bucket(t: int, num_planes: int):
+    """Composite (table, bucket) key: t shifted past the bucket's bit width
+    — collision-free by construction for any num_planes/num_tables (a
+    string-concat key is only accidentally unique)."""
+    return (F.lit(t).cast("long") * F.lit(1 << num_planes)
+            + F.col("__b")).alias("__tb")
+
+
 def knn_lsh(
     probes: DataFrame, corpus: DataFrame, dim: int, *, id_col: str = "vec_id",
     vec_col: str = "embedding", k: int = 10, num_planes: int = 6,
@@ -104,7 +112,7 @@ def knn_lsh(
             parts.append(b.select(
                 F.col(id_col).alias(f"{side}_id"),
                 F.col(vec_col).alias(f"__{side}v"),
-                F.concat(F.lit(t * 1000), F.col("__b")).cast("long").alias("__tb"),
+                _table_bucket(t, num_planes),
             ))
         out = parts[0]
         for p in parts[1:]:
@@ -197,7 +205,7 @@ def embedding_dup_pairs(
                        seed=seed + 101 * t, out="__b")
         parts.append(b.select(
             id_col, F.col(vec_col).alias("__v"),
-            F.concat(F.lit(t * 1000), F.col("__b")).cast("long").alias("__tb"),
+            _table_bucket(t, num_planes),
         ))
     keyed = parts[0]
     for p in parts[1:]:

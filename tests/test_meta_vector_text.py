@@ -251,3 +251,75 @@ def test_knn_ivf_recall_vs_bruteforce(spark):
     approx = knn_ivf(probes, e, k=3, n_centroids=4, n_probe=2, seed=7)
     hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
     assert hits >= 0.5 * exact.count()  # clustered fixture -> decent recall
+
+
+# ----------------------------------------------- review-found regressions
+
+def test_rank_apply_keeps_duplicate_probe_rows(spark):
+    """Range-fallback path must emit one result per probe ROW, even for
+    identical rows (the one-result-per-row contract)."""
+    from dagli_spark.operators.fit import fit_rank
+
+    fit = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    m = fit_rank(fit, "v")
+    probe = spark.createDataFrame([(5.0,), (5.0,), (1.5,)], "v double")
+    got = sorted(r["r"] for r in m.apply(probe, out="r").collect())
+    assert got == [1, 2, 2]  # 1.5 -> one below; both 5.0 rows -> two below
+
+
+def test_kfold_target_encode_null_target_fold(spark):
+    """A fold whose targets are all null must still receive the other
+    folds' mean, not null."""
+    from dagli_spark.operators.meta import kfold_target_encode
+
+    rows = [(i, "k", None if i % 3 == 2 else float(i), i % 3)
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "id int, key string, y double, grp int")
+    out = kfold_target_encode(df, "key", "y", k=3, group_col="grp",
+                              method="lcg", out="enc")
+    pdf = out.toPandas()
+    # grp routing with lcg on 0..2 spreads folds; every row whose OTHER
+    # folds contain at least one non-null target must be encoded
+    import math
+    for _, r in pdf.iterrows():
+        others = pdf[(pdf["fold"] != r["fold"]) & pdf["y"].notna()]
+        if len(others):
+            assert r["enc"] is not None and not math.isnan(r["enc"]), r
+            assert math.isclose(r["enc"], others["y"].mean()), r
+
+
+def test_minhash_rejects_degenerate_banding(spark, sf_dir):
+    import pytest as _pytest
+
+    from dagli_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with _pytest.raises(ValueError):
+        minhash_lsh_pairs(d, "text", "doc_id", num_hashes=16, bands=32)
+    with _pytest.raises(ValueError):
+        minhash_lsh_pairs(d, "text", "doc_id", num_hashes=16, bands=5)
+
+
+def test_knn_ivf_small_corpus(spark):
+    """Corpus smaller than n_centroids must not crash (k clamps)."""
+    from dagli_spark.operators.similarity import knn_ivf
+
+    rows = [(i, [float(i), 1.0]) for i in range(6)]
+    e = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = knn_ivf(e.where("vec_id < 2"), e, k=2, n_centroids=16, n_probe=16)
+    assert out.count() > 0
+
+
+def test_mapped_iterable_payload_alignment_after_shuffle(spark):
+    """Row payloads must stay aligned with their mapped arrays even when
+    the source is shuffle output."""
+    from dagli_spark.operators.fit import fit_indices
+
+    rows = [(i, [f"w{i % 5}", f"w{(i + 1) % 5}"]) for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, toks array<string>") \
+        .repartition(7, "id")  # shuffle upstream of the lift
+    m = fit_indices(df, "toks")
+    out = m.apply(df, out="ids").collect()
+    lookup = {r["value"]: r["id"] for r in m.mapping.collect()}
+    for r in out:
+        assert r["ids"] == [lookup[t] for t in r["toks"]], r
