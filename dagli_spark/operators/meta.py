@@ -151,7 +151,10 @@ def kfold_cross_trained(
     (transformed training rows, all-data model).
 
     Use :func:`kfold_target_encode` when the inner op is a target aggregate
-    — it does this in one shuffle instead of k+1 fit jobs."""
+    — it does this in one shuffle instead of k+1 fit jobs.
+
+    The routed frame stays cached for the session (it feeds k+1 fit jobs);
+    call ``spark.catalog.clearCache()`` between independent sweeps."""
     routed = kfold_column(df, group_col, k, seed=seed, out=fold_col,
                           method=method).cache()
     parts = []
