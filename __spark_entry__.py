@@ -449,6 +449,20 @@ def q_isotonic(spark, sf_dir):
                                          F.round("cal", 4).alias("cal"))
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-class sampling (class rebalancing): portable-hash
+    variant so the oracle reproduces it exactly; partition-count invariant,
+    pure filter (pushes into the scan)."""
+    from dagli_spark.sources.readers import stratified_sample
+
+    ev = _t(spark, sf_dir, "events")
+    fr = {"click": 0.25, "view": 0.5, "purchase": 1.0, "signup": 1.0,
+          "error": 0.0}
+    out = stratified_sample(ev, "event_type", fr, "event_id", seed=3,
+                            method="lcg")
+    return out.select("event_id", "event_type")
+
+
 def q_normalized(spark, sf_dir):
     """The reference's canonical NormalizedDouble example
     (examples/assorted/.../NormalizedDouble.java): fit min/max, scale to
@@ -712,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_auc": q_binary_auc,
         "kmeans": q_kmeans,
         "isotonic": q_isotonic,
+        "stratified_sample": q_stratified_sample,
         "normalized": q_normalized,
         "grouped_mean": q_grouped_mean,
         "kfold_target_encode": q_kfold_target_encode,
@@ -1001,6 +1016,13 @@ def oracle_sql() -> dict[str, str]:
                      AS auc,
                    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS INT) AS n_pos
             FROM j
+        """,
+        "stratified_sample": """
+            SELECT event_id, event_type FROM events
+            WHERE ((event_id * 2654435761 + 3) % 4294967296) / 4294967296.0
+                  < CASE event_type WHEN 'click' THEN 0.25
+                        WHEN 'view' THEN 0.5 WHEN 'purchase' THEN 1.0
+                        WHEN 'signup' THEN 1.0 ELSE 0.0 END
         """,
         "normalized": """
             SELECT event_id,

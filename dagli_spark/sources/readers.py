@@ -74,3 +74,35 @@ def shuffled_reader(df: DataFrame, key, *, seed: int = 0) -> DataFrame:
     """Full deterministic shuffle (stronger than the reference's partial
     K-buffer shuffle): order by a seeded hash of the key."""
     return df.orderBy(shuffle_key(key, seed))
+
+
+def stratified_sample(
+    df: DataFrame, label_col: str, fractions: dict, key, *,
+    seed: int = 0, method: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic per-class sampling (class rebalancing for training-data
+    pipelines): keep a row iff hash(key) falls under its label's fraction.
+
+    Unlike ``df.sampleBy`` (RNG per partition, result depends on partition
+    layout) this is a pure function of (seed, key) — partition-count
+    invariant (§1.4), reproducible across runs, and a plain filter: it
+    pushes into the scan, no shuffle. ``method='lcg'`` uses the portable
+    Knuth multiplicative hash so an ANSI-SQL oracle can reproduce it
+    exactly; 'xxhash64' is the engine default.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    if method == "xxhash64":
+        u = (F.pmod(F.xxhash64(k, F.lit(seed)), F.lit(1 << 32))
+             / F.lit(float(1 << 32)))
+    elif method == "lcg":
+        u = ((k.cast("long") * F.lit(2654435761) + F.lit(seed))
+             % F.lit(2**32) / F.lit(float(2**32)))
+    else:
+        raise ValueError(method)
+    frac = None
+    for label, f in sorted(fractions.items()):
+        cond = F.col(label_col) == F.lit(label)
+        frac = F.when(cond, F.lit(float(f))) if frac is None \
+            else frac.when(cond, F.lit(float(f)))
+    frac = frac.otherwise(F.lit(0.0))
+    return df.where(u < frac)

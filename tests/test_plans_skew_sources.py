@@ -118,3 +118,24 @@ def test_iceberg_fallback_roundtrip(spark, sf_dir):
     assert set(back.columns) == set(ev.columns)
     conf = catalog_conf("lake", "/tmp/wh")
     assert conf["spark.sql.catalog.lake"].endswith("SparkCatalog")
+
+
+def test_stratified_sample_partition_invariant_and_pushed(spark, sf_dir):
+    from dagli_spark.sources.readers import stratified_sample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fr = {"click": 0.3, "view": 0.7}
+    a = stratified_sample(ev.repartition(3), "event_type", fr, "event_id")
+    b = stratified_sample(ev.repartition(17), "event_type", fr, "event_id")
+    ra = sorted(r["event_id"] for r in a.collect())
+    rb = sorted(r["event_id"] for r in b.collect())
+    assert ra == rb and len(ra) > 0
+    # rough rate check: click kept ~30%, view ~70%, others dropped
+    import pyspark.sql.functions as F2
+    kept = {r["event_type"]: r["n"]
+            for r in a.groupBy("event_type").agg(F2.count("*").alias("n")).collect()}
+    total = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type").agg(F2.count("*").alias("n")).collect()}
+    assert set(kept) <= {"click", "view"}
+    assert abs(kept["click"] / total["click"] - 0.3) < 0.15
+    assert abs(kept["view"] / total["view"] - 0.7) < 0.15
