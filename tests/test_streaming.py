@@ -80,3 +80,53 @@ def test_streaming_windowed_agg_matches_batch(spark):
     a = sorted(str(r) for r in got_batch.select(*cols).collect())
     b = sorted(str(r) for r in got_stream.select(*cols).collect())
     assert a == b and len(a) > 0
+
+
+def test_streaming_locf_state_survives_restart(spark, tmp_path):
+    """Kill-and-restart resumability for the STATEFUL streaming path: the
+    second run must resume from the checkpointed state store (carrying each
+    entity's last observation across the restart), not recompute or lose
+    state — the streaming analogue of the batch checkpoint/resume test."""
+    import shutil
+
+    from pyspark.sql import functions as F2
+
+    src_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    rows1 = [("e1", "2026-01-01 00:00:00", 1.0),
+             ("e1", "2026-01-01 00:10:00", None),
+             ("e2", "2026-01-01 00:00:00", 7.0)]
+    rows2 = [("e1", "2026-01-01 01:00:00", None),   # must LOCF to 1.0 (old state)
+             ("e2", "2026-01-01 01:00:00", None),   # must LOCF to 7.0
+             ("e2", "2026-01-01 01:30:00", 9.0)]
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(rows, "entity_id string, t string, label double") \
+            .select("entity_id", F2.col("t").cast("timestamp").alias("event_time"),
+                    "label")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/{name}")
+        return df.schema
+
+    schema = write_batch(rows1, "b1")
+
+    def run_once():
+        sdf = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "100").parquet(f"{src_dir}/*")
+        q = streaming_locf_features(sdf).writeStream \
+            .format("parquet").option("path", out_dir) \
+            .option("checkpointLocation", ckpt) \
+            .outputMode("append").trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_once()                      # run 1: consumes b1, checkpoints state
+    write_batch(rows2, "b2")
+    run_once()                      # run 2: restart from checkpoint, b2 only
+
+    got = {(r["entity_id"], str(r["event_time"])): r["label_locf"]
+           for r in spark.read.parquet(out_dir).collect()}
+    assert len(got) == 6            # no duplicates: b1 not reprocessed
+    assert got[("e1", "2026-01-01 01:00:00")] == 1.0   # state survived restart
+    assert got[("e2", "2026-01-01 01:00:00")] == 7.0
+    assert got[("e2", "2026-01-01 01:30:00")] == 9.0
