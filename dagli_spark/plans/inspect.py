@@ -48,3 +48,18 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
         cols = [c.split(":")[0].strip() for c in m.split(",") if c.strip()]
         out.append(cols)
     return out
+
+
+def observed(df, name: str, *metrics):
+    """Side-channel metrics without an extra action — the frame-level form
+    of the reference's Logged identity transformer (common/.../object/
+    Logged.java:34): attach aggregate expressions that are computed during
+    the NEXT action on the frame and retrieved from the listener-visible
+    observation (df.observe). Example::
+
+        df = observed(df, "ingest", F.count(F.lit(1)).alias("rows"),
+                      F.sum("value").alias("total"))
+
+    Retrieve via a QueryExecutionListener / StreamingQueryListener, or
+    `Observation` for the blocking variant."""
+    return df.observe(name, *metrics)

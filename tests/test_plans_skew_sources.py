@@ -139,3 +139,17 @@ def test_stratified_sample_partition_invariant_and_pushed(spark, sf_dir):
     assert set(kept) <= {"click", "view"}
     assert abs(kept["click"] / total["click"] - 0.3) < 0.15
     assert abs(kept["view"] / total["view"] - 0.7) < 0.15
+
+
+def test_observed_metrics(spark, sf_dir):
+    from pyspark.sql import Observation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    obs = Observation("ingest")
+    tagged = ev.observe(obs, F.count(F.lit(1)).alias("rows"))
+    n = tagged.count()
+    assert obs.get["rows"] == n > 0
+    # and the helper wires the same mechanism by name
+    from dagli_spark.plans.inspect import observed
+    df2 = observed(ev, "stage1", F.count(F.lit(1)).alias("rows"))
+    assert df2.count() == n
