@@ -49,6 +49,18 @@ def avro_reader(spark: SparkSession, path: str) -> DataFrame:
         ) from e
 
 
+def avro_writer(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """Avro sink (objectio-avro/.../AvroWriter); same classpath gate as
+    :func:`avro_reader`."""
+    try:
+        df.write.mode(mode).format("avro").save(path)
+    except Exception as e:  # pragma: no cover - environment-dependent
+        raise RuntimeError(
+            "spark-avro is not on the classpath; submit with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        ) from e
+
+
 def multiplexed_union(*dfs: DataFrame) -> DataFrame:
     """Round-robin union of readers -> unordered unionAll (row order is
     never load-bearing in this engine, §1.4)."""
