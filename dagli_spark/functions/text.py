@@ -21,6 +21,10 @@ lower_cased = F.lower          # text/.../LowerCased.java:15
 replaced_regex = F.regexp_replace  # text/.../ReplacedRegex.java:15
 
 
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
 def matches_regex(col, pattern: str) -> Column:
     """text/.../MatchesRegex.java:14"""
     return F.col(col).rlike(pattern) if isinstance(col, str) else col.rlike(pattern)
@@ -115,6 +119,51 @@ def word_ngrams(col, n: int) -> Column:
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
     ).otherwise(F.array().cast("array<string>"))
+
+
+NGRAM_START = "\x02"   # sentinel padding tokens (reference uses distinct
+NGRAM_END = "\x03"     # start/end padding objects)
+
+
+def ngram_vector(tokens_col, *, min_size: int = 1, max_size: int = 1,
+                 padding: str = "single") -> Column:
+    """All word n-grams for sizes min_size..max_size with the reference's
+    padding semantics (common/.../list/NgramVector.java:10-16,
+    AbstractNgrams; counts pinned by NGramVectorTest.java):
+
+    - ``none``: no sentinels — size-n count is len-n+1.
+    - ``single`` (reference default): one start + one end sentinel for
+      n > 1 — size-n count is len+2-n+1.
+    - ``full``: n-1 sentinels each side — size-n count is len+n-1.
+
+    Returns the combined ngram string array (feed to
+    :func:`sparse_from_counts` for the hashed count-vector form)."""
+    pads = {"none": lambda n: 0, "single": lambda n: min(1, n - 1),
+            "full": lambda n: n - 1}
+    if padding not in pads:
+        raise ValueError(padding)
+    toks = _c(tokens_col)
+    parts = []
+    for n in range(min_size, max_size + 1):
+        p = pads[padding](n)
+        padded = toks
+        if p:
+            padded = F.concat(
+                F.array_repeat(F.lit(NGRAM_START), p), toks,
+                F.array_repeat(F.lit(NGRAM_END), p))
+        idx = F.sequence(F.lit(0), F.size(padded) - n)
+
+        def _gram(n=n, padded=padded):
+            # 1-arg lambda on purpose (F.transform arity sniffing)
+            return lambda i: F.array_join(F.slice(padded, i + 1, n), " ")
+
+        parts.append(F.when(
+            F.size(padded) >= n, F.transform(idx, _gram()),
+        ).otherwise(F.array().cast("array<string>")))
+    out = parts[0]
+    for pt in parts[1:]:
+        out = F.concat(out, pt)
+    return out
 
 
 def ngram_hashes(col, n: int, *, seed: int = 0) -> Column:

@@ -329,3 +329,30 @@ def test_normalized_double_reference_example(spark):
     assert sorted(r["n"] for r in train_out.collect()) == [0.0, 0.6, 1.0]
     probe = fitted.transform(frame([-8.0, 8.0])).collect()
     assert sorted(r["n"] for r in probe) == [0.0, 1.0]
+
+
+def test_ngram_vector_reference_counts(spark):
+    """NgramVector padding/size semantics — every count from the
+    reference's NGramVectorTest.java ('Mary had a little lamb', all
+    ngrams distinct so vector size == ngram count)."""
+    from dagli_spark.functions.text import ngram_vector
+
+    df = spark.createDataFrame(
+        [(["Mary", "had", "a", "little", "lamb"],)], "toks array<string>")
+
+    def n_of(**kw):
+        return df.select(
+            F.size(F.array_distinct(ngram_vector("toks", **kw))).alias("n")
+        ).first()["n"]
+
+    # Tester cases (default SINGLE padding)
+    assert n_of() == 5                                      # unigrams
+    assert n_of(min_size=3, max_size=3) == 5                # trigrams
+    assert n_of(max_size=3) == 5 + 6 + 5                    # uni+bi+tri
+    assert n_of(padding="none", max_size=3) == 5 + 4 + 3
+    assert n_of(padding="none", min_size=2, max_size=3) == 4 + 3
+    # testFullPadding cases
+    assert n_of(padding="full") == 5
+    assert n_of(padding="full", min_size=3, max_size=3) == 7
+    assert n_of(padding="full", max_size=3) == 5 + 6 + 7
+    assert n_of(padding="full", min_size=2, max_size=3) == 6 + 7
