@@ -97,3 +97,32 @@ def logged(col) -> Column:
     """common/.../object/Logged.java:34 — identity; side-channel logging in
     Spark is df.observe()/accumulators at the frame level."""
     return _c(col)
+
+
+def kth_smallest(items, cum_counts, k) -> Column:
+    """k-th smallest (1-indexed) element of a weighted multiset given as
+    parallel (items, cumulative counts) arrays — the reference's per-row
+    OrderStatistic apply (common/.../object/OrderStatistic.java:25-33,
+    golden cases in OrderStatisticTest.java). Pure Catalyst."""
+    zipped = F.arrays_zip(_c(items).alias("it"), _c(cum_counts).alias("cc"))
+    kk = _c(k) if not isinstance(k, int) else F.lit(k)
+    return F.element_at(
+        F.filter(zipped, lambda x: x["cc"] >= kk), 1)["it"]
+
+
+def kth_largest(items, cum_counts, k) -> Column:
+    """k-th largest: k-th smallest counted from the other end."""
+    cc = _c(cum_counts)
+    total = F.element_at(cc, -1)
+    kk = _c(k) if not isinstance(k, int) else F.lit(k)
+    return kth_smallest(items, cc, total - kk + 1)
+
+
+def order_percentile(items, cum_counts, p) -> Column:
+    """Element at percentile p of the weighted multiset
+    (index = max(1, ceil(p * total)); p=0 -> smallest)."""
+    cc = _c(cum_counts)
+    total = F.element_at(cc, -1)
+    pp = _c(p) if not isinstance(p, (int, float)) else F.lit(float(p))
+    k = F.greatest(F.lit(1).cast("long"), F.ceil(pp * total))
+    return kth_smallest(items, cc, k)

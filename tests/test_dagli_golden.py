@@ -356,3 +356,20 @@ def test_ngram_vector_reference_counts(spark):
     assert n_of(padding="full", min_size=3, max_size=3) == 7
     assert n_of(padding="full", max_size=3) == 5 + 6 + 7
     assert n_of(padding="full", min_size=2, max_size=3) == 6 + 7
+
+
+def test_order_statistic_per_row_golden(spark):
+    """Per-row OrderStatistic over a weighted multiset — every case from
+    the reference's OrderStatisticTest.java (items A,B,C with cumulative
+    counts 1,3,7 = multiset ABBCCCC)."""
+    df = spark.createDataFrame(
+        [(["A", "B", "C"], [1, 3, 7])], "items array<string>, cc array<long>")
+
+    def got(fn, *args):
+        return df.select(fn("items", "cc", *args).alias("o")).first()["o"]
+
+    assert [got(C.kth_largest, k) for k in (1, 5, 7)] == ["C", "B", "A"]
+    assert [got(C.kth_smallest, k) for k in (7, 4, 2, 1)] == \
+        ["C", "C", "B", "A"]
+    assert [got(C.order_percentile, p)
+            for p in (1.0, 0.5, 0.22, 0.1, 0.0)] == ["C", "C", "B", "A", "A"]
