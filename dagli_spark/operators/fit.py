@@ -234,14 +234,17 @@ def fit_min_max(df: DataFrame, col: str) -> tuple:
     return row["mn"], row["mx"]
 
 
-def order_statistic(df: DataFrame, col: str, quantiles: list[float]) -> list[float]:
-    """Exact interpolated quantiles (common/.../object/OrderStatistic.java:25-33).
-    Uses Spark's exact `percentile` aggregate (sort-based) — use
-    `percentile_approx` at extreme scale."""
-    row = df.agg(
-        F.expr(f"percentile({col}, array({','.join(str(q) for q in quantiles)}))")
-        .alias("qs")
-    ).first()
+def order_statistic(df: DataFrame, col: str, quantiles: list[float], *,
+                    approx: bool = False, accuracy: int = 10000) -> list[float]:
+    """Global quantiles (common/.../object/OrderStatistic.java:25-33).
+    Exact by default (Spark's sort-based `percentile`); ``approx=True``
+    switches to the KLL-sketch `percentile_approx` — the scale path when
+    the column has billions of distinct values (mergeable sketch, single
+    pass, no global sort)."""
+    arr = f"array({','.join(str(q) for q in quantiles)})"
+    expr = (f"percentile_approx({col}, {arr}, {accuracy})" if approx
+            else f"percentile({col}, {arr})")
+    row = df.agg(F.expr(expr).alias("qs")).first()
     return list(row["qs"])
 
 
