@@ -1,0 +1,58 @@
+"""Multimodal (audio/video) binary-column plumbing: schemas, Arrow batch
+shape, and feature math are real; codecs are deterministic fakes with the
+real-codec swap points raising NotImplementedError (brief requirement)."""
+
+import numpy as np
+import pytest
+
+from dagli_spark.features.multimodal import (
+    decode_audio,
+    encode_fake_audio,
+    encode_fake_video,
+    iter_video_frames,
+    with_audio_features,
+    with_video_features,
+)
+
+
+def _sine_pcm(sr=8000, secs=0.5, hz=440):
+    t = np.arange(int(sr * secs)) / sr
+    return (np.sin(2 * np.pi * hz * t) * 0.5 * 32767).astype(np.int16)
+
+
+def test_audio_features_end_to_end(spark):
+    pcm = _sine_pcm()
+    rows = [(1, encode_fake_audio(pcm, 8000)), (2, None)]
+    df = spark.createDataFrame(rows, "id int, audio_bytes binary")
+    out = {r["id"]: r for r in with_audio_features(df).collect()}
+    a = out[1]
+    assert "audio_bytes" not in out[1].asDict()        # not echoed back
+    assert abs(a["au_duration_s"] - 0.5) < 1e-9
+    assert a["au_sample_rate"] == 8000
+    assert abs(a["au_rms"] - 0.5 / np.sqrt(2)) < 0.01  # sine RMS = A/sqrt(2)
+    assert 0.05 < a["au_zero_cross_rate"] < 0.3        # 440 Hz @ 8 kHz
+    assert out[2]["au_rms"] is None                    # null payload -> nulls
+
+
+def test_video_features_end_to_end(spark):
+    # 6 frames, alternating dark/bright -> known brightness and motion
+    frames = np.stack([np.full((8, 8), 10 if i % 2 == 0 else 200, np.uint8)
+                       for i in range(6)])
+    rows = [(1, encode_fake_video(frames))]
+    df = spark.createDataFrame(rows, "id int, video_bytes binary")
+    r = with_video_features(df).first()
+    assert r["vi_n_frames"] == 6 and r["vi_sampled_frames"] == 6
+    assert abs(r["vi_mean_brightness"] - 105.0) < 1e-9
+    assert abs(r["vi_motion_energy"] - 190.0) < 1e-9
+    # frame sampling: every 2nd frame -> all dark, zero motion
+    r2 = with_video_features(df, every_n=2).first()
+    assert r2["vi_sampled_frames"] == 3
+    assert abs(r2["vi_mean_brightness"] - 10.0) < 1e-9
+    assert r2["vi_motion_energy"] == 0.0
+
+
+def test_real_codecs_are_clearly_stubbed():
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        decode_audio(b"RIFFxxxxWAVE")  # a real wav header path
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        next(iter_video_frames(b"\x00\x00\x00 ftypmp42"))
