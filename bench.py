@@ -94,8 +94,13 @@ def main() -> None:
             dt = time.time() - t0
         timings[name] = round(dt, 3)
         # queries are independent: drop persisted intermediates (e.g. the
-        # dedup candidate sets) so no query pays for a predecessor's cache
+        # dedup candidate sets) so no query pays for a predecessor's cache,
+        # and force a JVM GC — Spark's ContextCleaner only removes dead
+        # shuffle files when the driver GCs, which a mostly-idle driver
+        # heap never triggers on its own (files otherwise accumulate and
+        # slow later shuffle-heavy queries)
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     out = {
