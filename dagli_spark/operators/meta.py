@@ -71,6 +71,44 @@ def fit_by_group_pandas(
     return GroupedModel(group_col, state)
 
 
+@dataclass
+class GroupedMultiplicityModel:
+    """Per-group Multiplicity (the reference's PreparedByGroupTest case):
+    count of this row's value within its group's fitted data. Distinguishes
+    unknown GROUP (-> null, UnknownGroupPolicy.RETURN_NULL) from a known
+    group with an unseen value (-> 0)."""
+
+    group_col: str
+    value_col: str
+    counts: DataFrame   # group, value, cnt
+    groups: DataFrame   # distinct fitted groups
+
+    def apply(self, df: DataFrame, *, out: str | None = None) -> DataFrame:
+        out = out or f"{self.value_col}_group_multiplicity"
+        j = df.join(
+            F.broadcast(self.counts.withColumnRenamed("cnt", out)),
+            on=[self.group_col, self.value_col], how="left",
+        ).join(
+            F.broadcast(self.groups.withColumn("__known", F.lit(True))),
+            on=self.group_col, how="left",
+        )
+        return j.withColumn(
+            out,
+            F.when(F.col("__known"), F.coalesce(F.col(out), F.lit(0))),
+        ).drop("__known")
+
+
+def fit_multiplicity_by_group(
+    df: DataFrame, group_col: str, value_col: str
+) -> GroupedMultiplicityModel:
+    """PreparedByGroup(Multiplicity): ONE groupBy fits every group's value
+    counts simultaneously (PreparedByGroup.java:30-49 + Multiplicity)."""
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    groups = df.select(group_col).distinct()
+    return GroupedMultiplicityModel(group_col, value_col, counts, groups)
+
+
 # ------------------------------------------------------- KFoldCrossTrained
 
 def kfold_target_encode(

@@ -373,3 +373,41 @@ def test_order_statistic_per_row_golden(spark):
         ["C", "C", "B", "A"]
     assert [got(C.order_percentile, p)
             for p in (1.0, 0.5, 0.22, 0.1, 0.0)] == ["C", "C", "B", "A", "A"]
+
+
+def test_prepared_by_group_multiplicity_golden(spark):
+    """Reference PreparedByGroupTest.testMultiplicityByGroup: per-group
+    value counts; unknown group -> null (RETURN_NULL), known group with
+    unseen value -> 0."""
+    from dagli_spark.operators.meta import fit_multiplicity_by_group
+
+    groups = ["A"] * 5 + ["B"] * 5
+    items = [1, 1, 1, 1, 2, 1, 2, 3, 3, 3]
+    df = spark.createDataFrame(list(zip(groups, items)), "g string, v int")
+    m = fit_multiplicity_by_group(df, "g", "v")
+
+    probe = spark.createDataFrame(
+        [("A", 1), ("C", 3), ("A", 3), ("B", 3)], "g string, v int")
+    got = {(r["g"], r["v"]): r["n"]
+           for r in m.apply(probe, out="n").collect()}
+    assert got[("A", 1)] == 4     # four 1s in group A
+    assert got[("C", 3)] is None  # unknown group
+    assert got[("A", 3)] == 0     # known group, unseen value
+    assert got[("B", 3)] == 3
+
+
+def test_null_filtered_rank_golden(spark):
+    """Reference NullFilteredTest.testPreparationAndApplication: Rank
+    fitted only on non-null inputs; null inputs yield null outputs, one
+    result per row. inputs [null,3,2,null,1,3,null] ->
+    outputs [null,2,1,null,0,2,null]."""
+    from dagli_spark.operators.fit import fit_rank, null_filtered_fit
+
+    rows = list(enumerate([None, 3, 2, None, 1, 3, None]))
+    df = spark.createDataFrame(rows, "id int, v int")
+    m = null_filtered_fit(df, ["v"], lambda d: fit_rank(d, "v"))
+    ranked = m.apply(df.where(F.col("v").isNotNull()), out="r")
+    # NullFiltered contract: null inputs still emit one (null) result
+    out = df.join(ranked.select("id", "r"), "id", "left")
+    got = [r["r"] for r in out.orderBy("id").collect()]
+    assert got == [None, 2, 1, None, 0, 2, None]
