@@ -34,7 +34,6 @@ from dagli_spark.operators.fit import (
     order_statistic,
 )
 from dagli_spark.operators.evaluation import binary_evaluation
-from dagli_spark.operators.fit import fit_rank
 from dagli_spark.operators.models import fit_isotonic, fit_kmeans
 from dagli_spark.operators.similarity import knn_bruteforce, knn_lsh
 from dagli_spark.functions import core as C
