@@ -314,6 +314,12 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish regex token counting (training-data token budgeting)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.token_count_bpe("text").alias("n_bpe_tokens"))
+
+
 def q_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", F.round(T.quality_score("text"), 4).alias("quality"))
@@ -709,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_population": q_rank_population,
         "kfold": q_kfold,
         "text_stats": q_text_stats,
+        "token_count_bpe": q_token_count_bpe,
         "quality": q_quality,
         "exact_dedup": q_exact_dedup,
         "top_tokens": q_top_tokens,
@@ -923,6 +930,13 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_token_len,
                    length(text) AS len_chars
             FROM t
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+                     AS n_bpe_tokens
+            FROM documents
         """,
         "quality": r"""
             WITH m AS (SELECT doc_id,

@@ -110,6 +110,24 @@ def token_count(col) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pretokenizer approximation, restricted to constructs shared
+# by Java regex (Spark) and RE2 (DuckDB oracle): contractions, letter runs,
+# digit runs, non-space punctuation runs.
+BPE_TOKEN_RE = r"'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def tokens_bpe(col) -> Column:
+    """BPE-ish pretokenization (the token-counting proxy a training-data
+    pipeline budgets with — splits punctuation and digit runs from words,
+    keeps contraction suffixes), array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0)
+
+
+def token_count_bpe(col) -> Column:
+    return F.size(tokens_bpe(col))
+
+
 def word_ngrams(col, n: int) -> Column:
     """array of space-joined word n-grams (common/.../list/NgramVector.java:10-16).
     Pure Catalyst: slide a transform over the token array."""
