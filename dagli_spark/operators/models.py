@@ -57,7 +57,15 @@ def fit_kmeans(
     job (assign = broadcast centers, update = groupBy(cluster) column-wise
     mean via posexplode — map-side combinable). Init: deterministic
     hash-sample of k rows (k-means++ replaced by seeded sampling to keep
-    the partition-count-invariance contract §1.4)."""
+    the partition-count-invariance contract §1.4).
+
+    Quasi-determinism caveat (the reference's own contract,
+    documentation/transformers.md:11-17 — "same inputs, same equally-valid
+    outputs"): the distributed mean's float summation order varies with
+    partitioning, so centers can differ in the last ulp across partition
+    layouts and vectors exactly on a Voronoi boundary could flip cluster;
+    all other operators in this engine are bit-invariant (see
+    tests/test_parallelism_grid.py)."""
     key = F.col(id_col) if id_col else F.xxhash64(F.concat_ws(",", F.col(vec_col)))
     sample = (
         df.select(F.col(vec_col), random_double(key, seed).alias("__u"))
