@@ -31,6 +31,22 @@ def content_key(*parts) -> str:
     return h.hexdigest()[:16]
 
 
+def input_signature(path: str) -> tuple:
+    """(name, size, mtime) of a directory's data files — folded into the
+    checkpoint key so data REWRITTEN at the same path invalidates the
+    checkpoint (a path-only key would resume from stale outputs). On
+    Iceberg this role is played by the snapshot id."""
+    if not os.path.isdir(path):
+        return (path,)
+    out = []
+    for fn in sorted(os.listdir(path)):
+        if fn.startswith(("_", ".")):
+            continue
+        st = os.stat(os.path.join(path, fn))
+        out.append((fn, st.st_size, int(st.st_mtime)))
+    return tuple(out)
+
+
 class Checkpointer:
     def __init__(self, root: str):
         self.root = root
@@ -98,7 +114,10 @@ def checkpointed_northrule(
 
     ck = Checkpointer(ckpt_root)
     k1 = content_key("event_features", seed_key, paths["images"],
-                     paths["image_events"], sorted(opts.items()))
+                     input_signature(paths["images"]),
+                     paths["image_events"],
+                     input_signature(paths["image_events"]),
+                     sorted(opts.items()))
 
     def build_feats():
         return event_features(
@@ -109,7 +128,8 @@ def checkpointed_northrule(
 
     feats = ck.stage(spark, "event_features", k1, build_feats)
 
-    k2 = content_key("asof", k1, paths["queries"], sorted(opts.items()))
+    k2 = content_key("asof", k1, paths["queries"],
+                     input_signature(paths["queries"]), sorted(opts.items()))
 
     def build_out():
         out = asof_features(

@@ -200,14 +200,16 @@ def build_features(
     return assemble_vector(out)
 
 
-def leakage_audit(result: DataFrame) -> dict:
+def leakage_audit(result: DataFrame, *, strict: bool = False) -> dict:
     """Runtime zero-leakage proof: no feature row used an event newer than
-    its asof_time. Returns counters; raises AssertionError on violation."""
+    its asof_time (with ``strict=True``, newer OR EQUAL — an equality
+    match is a leak under the strict contract). Returns counters; raises
+    AssertionError on violation."""
+    leak = (F.col(MATCHED_TIME) >= F.col("asof_time") if strict
+            else F.col(MATCHED_TIME) > F.col("asof_time"))
     agg = result.agg(
         F.count(F.lit(1)).alias("rows"),
-        F.sum(
-            F.when(F.col(MATCHED_TIME) > F.col("asof_time"), 1).otherwise(0)
-        ).alias("violations"),
+        F.sum(F.when(leak, 1).otherwise(0)).alias("violations"),
         F.sum(F.when(F.col(MATCHED_TIME).isNull(), 1).otherwise(0))
          .alias("no_history_rows"),
     ).first()

@@ -96,10 +96,17 @@ def asof_join(
     keep_matched_time: also emit the matched event time column
         (``__asof_matched_time``) — used by the leakage auditor.
     time_buckets / bucket_width: enable the 3-pass hot-entity path, see
-        module docstring. ``bucket_width`` is the bucket size expressed in
-        the time column's type arithmetic (e.g. ``F.expr("INTERVAL 1 DAY")``).
+        module docstring. ``bucket_width`` is a Column in the time
+        column's NATIVE units after normalization: epoch MICROSECONDS for
+        timestamp columns (e.g. ``F.lit(86_400 * 1_000_000)`` for 1 day),
+        plain numeric delta for numeric time columns.
     """
     keys = _normalize_on(on)
+    if time_buckets and bucket_width is None:
+        raise ValueError(
+            "time_buckets requires bucket_width — silently falling back to "
+            "the single-partition-per-entity path would defeat the "
+            "requested hot-entity mitigation")
     if values is None:
         values = [c for c in events.columns if c not in keys and c != right_time]
     clash = set(values) & set(queries.columns)
@@ -190,8 +197,9 @@ def _asof_join_bucketed(
     _B = "__asof_bucket"
 
     def bucketize(df, tcol):
-        # integer bucket index: floor(epoch/width) — width given as seconds
-        # column or numeric delta for numeric time types.
+        # integer bucket index: floor(time/width). Width units match the
+        # normalized time column: epoch MICROSECONDS for timestamps,
+        # the column's own units for numeric time.
         t = F.col(tcol)
         if dict(df.dtypes)[tcol].startswith("timestamp"):
             # session TZ is UTC, so ntz -> tz cast is identity
@@ -212,8 +220,8 @@ def _asof_join_bucketed(
     )
     order = F.struct(F.col(right_time), tie)
     bucket_last = ev.groupBy(*keys, _B).agg(
-        F.max_by(state, order).alias(_STATE), F.max(order).alias("__ord")
-    ).drop("__ord")
+        F.max_by(state, order).alias(_STATE)
+    )
 
     # Pass 2: carry-in for each bucket = last state of any PRIOR bucket.
     w = (

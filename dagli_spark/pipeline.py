@@ -87,24 +87,33 @@ class FittedStage:
         return self.apply_fn(self.state, df)
 
 
+def _identity_fn(df: DataFrame) -> DataFrame:
+    return df
+
+
 def identity_stage(name: str = "identity") -> Stage:
-    return Stage(name, lambda df: df)
+    return Stage(name, _identity_fn)
 
 
 class Pipeline:
     """Ordered stages; preparables are fitted in sequence on the running
-    output (Dagli phase semantics). Equal stage keys are interned (CSE)."""
+    output (Dagli phase semantics). Equal stages are interned (CSE)."""
 
     def __init__(self, stages: list):
-        seen: dict[str, object] = {}
+        # CSE merges stages that are value-equal INCLUDING their function
+        # (Dagli's @ValueEquality producers compare fields + inputs) — a
+        # key of name+params alone would silently drop a same-named stage
+        # with a different computation.
+        seen: set = set()
         out = []
         for s in stages:
-            k = s.key()
-            if k in seen:          # CSE: merge equals()-equal producers
+            fns = (s.fn,) if isinstance(s, Stage) else (s.fit_fn, s.apply_fn)
+            k = (type(s).__name__, s.name, s.params, *fns)
+            if k in seen:
                 continue
-            if isinstance(s, Stage) and s.fn is _IDENTITY_FN:
-                continue           # no-op removal
-            seen[k] = s
+            if isinstance(s, Stage) and s.fn is _identity_fn:
+                continue           # no-op removal (RemoveIfUnaryReducer)
+            seen.add(k)
             out.append(s)
         self.stages = out
 
@@ -124,9 +133,6 @@ class Pipeline:
     def fit_transform(self, df: DataFrame) -> tuple["FittedPipeline", DataFrame]:
         fp = self.fit(df)
         return fp, fp.transform(df)
-
-
-_IDENTITY_FN = identity_stage().fn
 
 
 @dataclass

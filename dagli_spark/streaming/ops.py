@@ -113,26 +113,43 @@ def _locf_fn(
     key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Carry (last_time, last_label) per entity; emit LOCF per event.
-    Within a micro-batch rows are sorted by event time (stream order is
-    not guaranteed), then folded through the carried state."""
+
+    The whole micro-batch is concatenated before ONE stable time sort
+    (the iterator chunks split at the Arrow batch size — sorting chunks
+    independently would fold later chunks out of order), the fold is
+    vectorized pandas ffill (no per-row Python), and the carried state
+    never regresses: a late event older than the carried state updates
+    nothing (its own emitted LOCF uses the carried state — already-emitted
+    newer rows cannot be revised in append mode; the watermark bounds how
+    late such rows can be). Ties at equal event_time keep arrival order
+    (stable sort) — the streaming feed's file order is the tiebreak."""
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values("event_time", kind="stable")
     if state.exists:
         last_time, last_label = state.get
     else:
         last_time, last_label = None, None
-    for pdf in pdfs:
-        pdf = pdf.sort_values("event_time")
-        out_label = []
-        for _, r in pdf.iterrows():
-            if r["label"] == r["label"]:  # not NaN -> new observation
-                last_label = float(r["label"])
-                last_time = r["event_time"]
-            out_label.append(last_label)
-        yield pd.DataFrame({
-            "entity_id": key[0],
-            "event_time": pdf["event_time"].values,
-            "label_locf": out_label,
-        })
+
+    obs = pdf["label"].notna()
+    if last_time is not None:
+        # drop observations older than the carried state (late data)
+        obs = obs & (pdf["event_time"] >= last_time)
+    locf = pdf["label"].where(obs).ffill()
+    if last_label is not None:
+        locf = locf.fillna(last_label)
+    out = pd.DataFrame({
+        "entity_id": key[0],
+        "event_time": pdf["event_time"].values,
+        # rows before any observation are NULL, not NaN
+        "label_locf": locf.astype(object).where(locf.notna(), None).values,
+    })
+    if obs.any():
+        newest = pdf.index[obs.values][-1]  # last in stable time order
+        cand_t, cand_l = pdf["event_time"][newest], float(pdf["label"][newest])
+        if last_time is None or cand_t >= last_time:
+            last_time, last_label = cand_t, cand_l
     state.update((last_time, last_label))
+    yield out
 
 
 def streaming_locf_features(

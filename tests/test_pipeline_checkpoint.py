@@ -31,9 +31,10 @@ def test_pipeline_fit_apply_and_cse(spark, sf_dir):
         fit_fn=lambda df: fit_index(df, "event_type"),
         apply_fn=lambda m, df: m.apply(df, out="type_id"),
     )
-    dup = Stage("filter_purchases", lambda df: df.where(F.col("value") > 50))
-
-    p = Pipeline([filt, index, dup])  # dup has same key -> interned away
+    # CSE merges value-equal stages: same name, params, AND function —
+    # re-adding the same stage object is interned away; a different lambda
+    # (even if textually identical) is NOT assumed equal
+    p = Pipeline([filt, index, filt])
     assert len(p.stages) == 2
 
     fp, out = p.fit_transform(ev)
@@ -134,3 +135,48 @@ def test_checkpoint_resume(spark, tmp_path):
 def test_content_key_stability():
     assert content_key("a", 1, [2, 3]) == content_key("a", 1, [2, 3])
     assert content_key("a", 1) != content_key("a", 2)
+
+
+def test_pipeline_cse_keeps_distinct_same_named_stages(spark, sf_dir):
+    """Stages sharing name+params but different computations must BOTH
+    survive (CSE merges value-equal producers only)."""
+    from pyspark.sql import functions as F2
+
+    from dagli_spark.pipeline import Pipeline, Stage, identity_stage
+
+    s1 = Stage("scale", lambda df: df.withColumn("x", F2.col("x") * 2))
+    s2 = Stage("scale", lambda df: df.withColumn("x", F2.col("x") + 1))
+    p = Pipeline([s1, identity_stage(), s2, s1])
+    assert len(p.stages) == 2          # identity removed, duplicate s1 merged
+    df = spark.createDataFrame([(3,)], "x int")
+    assert p.fit_transform(df)[1].first()["x"] == 7   # (3*2)+1
+
+
+def test_checkpoint_invalidated_when_input_rewritten(spark, tmp_path):
+    """Rewriting input data at the SAME path must change the stage key
+    (path-only keys would resume from stale outputs)."""
+    from dagli_spark.checkpoint import content_key, input_signature
+
+    import time as _time
+
+    p = tmp_path / "data"
+    p.mkdir()
+    (p / "part-0.parquet").write_bytes(b"aaaa")
+    k1 = content_key("stage", str(p), input_signature(str(p)))
+    _time.sleep(1.1)
+    (p / "part-0.parquet").write_bytes(b"bbbbbb")
+    k2 = content_key("stage", str(p), input_signature(str(p)))
+    assert k1 != k2
+
+
+def test_asof_requires_bucket_width(spark, sf_dir):
+    import pytest as _pytest
+
+    from dagli_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = ev.select("user_id", F.col("ts").alias("asof_time"))
+    e = ev.select("user_id", "ts", F.col("value").alias("v"))
+    with _pytest.raises(ValueError, match="bucket_width"):
+        asof_join(q, e, on="user_id", left_time="asof_time",
+                  right_time="ts", values=["v"], time_buckets=8)

@@ -130,3 +130,40 @@ def test_streaming_locf_state_survives_restart(spark, tmp_path):
     assert got[("e1", "2026-01-01 01:00:00")] == 1.0   # state survived restart
     assert got[("e2", "2026-01-01 01:00:00")] == 7.0
     assert got[("e2", "2026-01-01 01:30:00")] == 9.0
+
+
+def test_streaming_locf_late_data_does_not_regress_state(spark, tmp_path):
+    """A late (in-watermark) event older than the carried state must not
+    overwrite it — subsequent rows keep the newest observation."""
+    from pyspark.sql import functions as F2
+
+    src_dir = str(tmp_path / "in2")
+    ckpt = str(tmp_path / "ckpt2")
+    out_dir = str(tmp_path / "out2")
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(rows, "entity_id string, t string, label double") \
+            .select("entity_id", F2.col("t").cast("timestamp").alias("event_time"),
+                    "label")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/{name}")
+        return df.schema
+
+    schema = write_batch([("e1", "2026-01-01 10:00:00", 5.0)], "b1")
+
+    def run_once():
+        sdf = spark.readStream.schema(schema).parquet(f"{src_dir}/*")
+        q = streaming_locf_features(sdf).writeStream \
+            .format("parquet").option("path", out_dir) \
+            .option("checkpointLocation", ckpt) \
+            .outputMode("append").trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_once()
+    # batch 2: a LATE observation (09:30 < carried 10:00) plus a new null row
+    write_batch([("e1", "2026-01-01 09:30:00", 3.0),
+                 ("e1", "2026-01-01 11:00:00", None)], "b2")
+    run_once()
+
+    got = {str(r["event_time"]): r["label_locf"]
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got["2026-01-01 11:00:00"] == 5.0  # NOT regressed to 3.0
