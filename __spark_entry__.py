@@ -921,7 +921,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": """
             WITH t AS (SELECT doc_id, text,
-                              list_filter(string_split(trim(text), ' '),
+                              list_filter(regexp_split_to_array(trim(text), '\s+'),
                                           x -> x <> '') AS toks
                        FROM documents)
             SELECT doc_id, len(toks) AS n_tokens,
@@ -958,11 +958,11 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY array_to_string(list_filter(
-                string_split(trim(lower(text)), ' '), x -> x <> ''), ' ')
+                regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> ''), ' ')
         """,
         "top_tokens": """
             SELECT token, count(*) AS cnt
-            FROM (SELECT unnest(list_filter(string_split(trim(text), ' '),
+            FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
                                             x -> x <> '')) AS token
                   FROM documents)
             GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
@@ -1147,7 +1147,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "word_ngrams": """
             WITH t AS (SELECT doc_id,
-                              list_filter(string_split(trim(text), ' '),
+                              list_filter(regexp_split_to_array(trim(text), '\s+'),
                                           x -> x <> '') AS toks
                        FROM documents)
             SELECT doc_id,
@@ -1163,7 +1163,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "indices": """
             WITH t AS (SELECT doc_id,
-                              list_filter(string_split(trim(text), ' '),
+                              list_filter(regexp_split_to_array(trim(text), '\s+'),
                                           x -> x <> '') AS toks
                        FROM documents),
                  e AS (SELECT doc_id, unnest(toks) AS tok,

@@ -106,14 +106,15 @@ def kth_smallest(items, cum_counts, k) -> Column:
     golden cases in OrderStatisticTest.java). Pure Catalyst."""
     zipped = F.arrays_zip(_c(items).alias("it"), _c(cum_counts).alias("cc"))
     kk = _c(k) if not isinstance(k, int) else F.lit(k)
-    return F.element_at(
-        F.filter(zipped, lambda x: x["cc"] >= kk), 1)["it"]
+    # try_element_at: k beyond the total weight yields null (ANSI-safe)
+    return F.try_element_at(
+        F.filter(zipped, lambda x: x["cc"] >= kk), F.lit(1))["it"]
 
 
 def kth_largest(items, cum_counts, k) -> Column:
     """k-th largest: k-th smallest counted from the other end."""
     cc = _c(cum_counts)
-    total = F.element_at(cc, -1)
+    total = F.try_element_at(cc, F.lit(-1))  # empty multiset -> null
     kk = _c(k) if not isinstance(k, int) else F.lit(k)
     return kth_smallest(items, cc, total - kk + 1)
 
@@ -122,7 +123,7 @@ def order_percentile(items, cum_counts, p) -> Column:
     """Element at percentile p of the weighted multiset
     (index = max(1, ceil(p * total)); p=0 -> smallest)."""
     cc = _c(cum_counts)
-    total = F.element_at(cc, -1)
+    total = F.try_element_at(cc, F.lit(-1))  # empty multiset -> null
     pp = _c(p) if not isinstance(p, (int, float)) else F.lit(float(p))
     k = F.greatest(F.lit(1).cast("long"), F.ceil(pp * total))
     return kth_smallest(items, cc, k)

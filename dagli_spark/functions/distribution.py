@@ -76,8 +76,9 @@ def sampled_with_replacement(col, key, *, seed: int = 0) -> Column:
     )
     total = F.aggregate(entries, F.lit(0.0), lambda a, e: a + e["prob"])
     target = u * total
-    idx = F.coalesce(
-        F.array_position(F.transform(cum, lambda c: c >= target), True),
-        F.lit(1),
-    )
-    return entries[idx.cast("int") - 1]["label"]
+    # array_position returns 0 (not null) when nothing matches — e.g. an
+    # empty map or NaN probabilities; fall back to the first entry, and use
+    # try_element_at so an empty distribution yields null under ANSI too
+    pos = F.array_position(F.transform(cum, lambda c: c >= target), True)
+    idx = F.when(pos == 0, F.lit(1).cast("long")).otherwise(pos)
+    return F.try_element_at(entries, idx.cast("int"))["label"]

@@ -38,5 +38,6 @@ def sample_segment(key: Column | str, lo: float, hi: float, seed: int = 0) -> Co
 def shuffle_key(key: Column | str, seed: int = 0) -> Column:
     """Order-by key for a full deterministic shuffle — the scalable analogue
     of LazyShuffledBufferReader's partial K-buffer shuffle
-    (objectio-core/.../LazyShuffledBufferReader.java:9-14)."""
-    return F.xxhash64(F.lit(seed), key)
+    (objectio-core/.../LazyShuffledBufferReader.java:9-14). Delegates to
+    :func:`random_long` so there is exactly one hashing definition."""
+    return random_long(key, seed)

@@ -51,7 +51,9 @@ def norm(a) -> Column:
 
 
 def cosine(a, b) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero vector yields null, not a DIVIDE_BY_ZERO error in
+    # ANSI-on sessions (non-ANSI returns null either way)
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def element_at_index(a, i: int) -> Column:
@@ -60,7 +62,9 @@ def element_at_index(a, i: int) -> Column:
 
 
 def vec_mean(a) -> Column:
-    return F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double")) / F.size(_c(a))
+    return F.try_divide(
+        F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double")),
+        F.size(_c(a)))  # empty array -> null, not DIVIDE_BY_ZERO
 
 
 def nearest_vector(vec, candidates: list[list[float]], *, metric: str = "l2") -> Column:

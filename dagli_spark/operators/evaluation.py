@@ -26,6 +26,9 @@ def multinomial_evaluation(
          .alias("correct_w"),
         F.count(F.lit(1)).alias("n"),
     ).first()
+    if agg["n"] == 0 or not agg["total_w"]:
+        return {"count": int(agg["n"]), "weight": 0.0, "accuracy": None,
+                "confusion": {}}
     confusion = [
         ((r[truth], r[prediction]), float(r["w"]))
         for r in df.groupBy(truth, prediction).agg(F.sum(w).alias("w")).collect()
@@ -42,11 +45,16 @@ def binary_evaluation(
     df: DataFrame, truth: str, score: str, *, threshold: float = 0.5,
     weight=None,
 ) -> dict:
-    """Weighted confusion at a threshold + AUC.
+    """Weighted confusion at a threshold + (unweighted) AUC.
 
-    AUC = (rank_sum_pos - n_pos*(n_pos+1)/2) / (n_pos * n_neg) with average
-    ranks for score ties (exact Mann-Whitney) — a single global sort +
-    one aggregate; scales as one shuffle."""
+    AUC = sum over distinct scores of pos(s) * (neg_below(s) + neg(s)/2)
+    over (P*N) — the tie-averaged Mann-Whitney statistic computed from
+    per-score pos/neg counts: ONE map-side-combinable groupBy(score), then
+    a window over the distinct-score table (bounded by score cardinality,
+    not row count — at extreme continuous-score scale, quantize scores
+    first). ``auc`` is None when a weight column is given (a weighted
+    rank-sum is a different statistic; computing the unweighted one under
+    a weighted call would be silently inconsistent with tp/fp/fn/tn)."""
     w = F.col(weight) if weight else F.lit(1.0)
     t = F.col(truth).cast("boolean")
     pred = F.col(score) >= F.lit(threshold)
@@ -56,29 +64,34 @@ def binary_evaluation(
         F.sum(F.when(t & ~pred, w).otherwise(0.0)).alias("fn"),
         F.sum(F.when(~t & ~pred, w).otherwise(0.0)).alias("tn"),
     ).first()
+    if base["tp"] is None:  # empty input
+        return {"tp": 0.0, "fp": 0.0, "fn": 0.0, "tn": 0.0,
+                "accuracy": None, "precision": None, "recall": None,
+                "f1": None, "auc": None}
     tp, fp, fn, tn = (float(base[k]) for k in ("tp", "fp", "fn", "tn"))
 
-    # average rank per row over the global score order (ties -> mean rank)
-    ranked = df.select(t.alias("pos"), F.col(score).alias("s")).withColumn(
-        "r1", F.row_number().over(Window.orderBy("s"))
-    )
-    avg_rank = ranked.groupBy("s").agg(F.avg("r1").alias("ar"))
-    joined = ranked.join(avg_rank, "s")
-    agg = joined.agg(
-        F.sum(F.when(F.col("pos"), F.col("ar"))).alias("rank_sum_pos"),
-        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),
-        F.sum(F.when(~F.col("pos"), 1).otherwise(0)).alias("n_neg"),
-    ).first()
-    n_pos, n_neg = int(agg["n_pos"]), int(agg["n_neg"])
     auc = None
-    if n_pos and n_neg:
-        auc = (float(agg["rank_sum_pos"]) - n_pos * (n_pos + 1) / 2.0) \
-            / (n_pos * n_neg)
+    if weight is None:
+        per_score = df.groupBy(F.col(score).alias("s")).agg(
+            F.sum(F.when(t, 1).otherwise(0)).alias("np"),
+            F.sum(F.when(~t, 1).otherwise(0)).alias("nn"),
+        )
+        w_s = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+        contrib = per_score.withColumn(
+            "neg_below", F.coalesce(F.sum("nn").over(w_s), F.lit(0))
+        ).agg(
+            F.sum(F.col("np") * (F.col("neg_below") + F.col("nn") / 2.0))
+             .alias("u"),
+            F.sum("np").alias("p"), F.sum("nn").alias("n"),
+        ).first()
+        if contrib["p"] and contrib["n"]:
+            auc = float(contrib["u"]) / (contrib["p"] * contrib["n"])
+    total = tp + fp + fn + tn
     prec = tp / (tp + fp) if tp + fp else None
     rec = tp / (tp + fn) if tp + fn else None
     return {
         "tp": tp, "fp": fp, "fn": fn, "tn": tn,
-        "accuracy": (tp + tn) / (tp + fp + fn + tn),
+        "accuracy": (tp + tn) / total if total else None,
         "precision": prec, "recall": rec,
         "f1": (2 * prec * rec / (prec + rec)) if prec and rec else None,
         "auc": auc,

@@ -164,8 +164,11 @@ def kfold_target_encode(
     )
     if prior is None and smoothing > 0:
         prior = df.agg(F.avg(target_col)).first()[0]
-    enc = (F.col("__os") + F.lit(smoothing) * F.lit(prior or 0.0)) / (
-        F.col("__oc") + F.lit(smoothing)
+    # try_divide: a key whose OTHER folds are all empty has denominator 0 —
+    # null encoding, not a job-killing DIVIDE_BY_ZERO under ANSI sessions
+    enc = F.try_divide(
+        F.col("__os") + F.lit(smoothing) * F.lit(prior or 0.0),
+        F.col("__oc") + F.lit(smoothing),
     )
     state = others.withColumn(out, enc).drop("__os", "__oc")
     return routed.join(F.broadcast(state), on=[key_col, fold_col], how="left")

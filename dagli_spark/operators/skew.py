@@ -34,23 +34,32 @@ def salted_agg(
     )
     merged = {}
     for name, a in aggs.items():
-        fn = a._jc.toString().split("(")[0].lower() if hasattr(a, "_jc") else ""
+        expr = a._jc.toString().lower() if hasattr(a, "_jc") else ""
+        fn = expr.split("(")[0]
         col = F.col(f"__p_{name}")
-        if fn.startswith("count"):
-            merged[name] = F.sum(col)
-        elif fn.startswith("sum"):
+        if "distinct" in expr:
+            raise ValueError(
+                f"{name}: distinct aggregates are not salt-mergeable (a "
+                "value in two salt buckets would be counted twice); "
+                "dedupe first, then count")
+        if fn.startswith(("count", "sum")):
             merged[name] = F.sum(col)
         elif fn.startswith("min"):
             merged[name] = F.min(col)
         elif fn.startswith("max"):
             merged[name] = F.max(col)
-        elif fn.startswith("avg") or fn.startswith("mean"):
+        elif fn.startswith(("avg", "mean")):
             raise ValueError(
                 "avg is not directly mergeable: aggregate sum and count "
                 "separately and divide after salted_agg"
             )
         else:
-            merged[name] = F.sum(col)  # default: additive merge
+            # refusing beats silently merging a non-algebraic aggregate
+            # (stddev, collect_list, ...) with sum — and covers Connect
+            # sessions where the expression string is unavailable
+            raise ValueError(
+                f"{name}: cannot verify '{fn or a}' is algebraic/"
+                "salt-mergeable; supported: count/sum/min/max")
     return partial.groupBy(*keys).agg(
         *[m.alias(name) for name, m in merged.items()]
     )

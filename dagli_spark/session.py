@@ -80,7 +80,12 @@ def get_spark(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": str(ARROW_BATCH_ROWS),
-        # Deterministic float behavior for allclose parity: no ANSI surprises.
+        # Null-propagating edge semantics (Spark 4 defaults ANSI on, which
+        # turns double/0 and out-of-range element_at into JOB-KILLING
+        # errors mid-pipeline). Operators are additionally hardened with
+        # try_divide/try_element_at so they stay safe in ANSI-on sessions
+        # the caller may bring (e.g. the correctness driver's own session).
+        "spark.sql.ansi.enabled": "false",
         # smaller split size so fat binary-column scans (image decode) get
         # enough tasks to fill all cores on local[N]; a real cluster reading
         # 100 TB has plenty of splits and can keep the 128 MB default.

@@ -53,6 +53,15 @@ def catalog_conf(catalog: str, warehouse: str) -> dict[str, str]:
     }
 
 
+def _fallback_path(identifier: str) -> str:
+    """One mapping for BOTH write and read fallbacks: absolute paths are
+    used as-is, dotted table identifiers go under /tmp/dagli_spark_tables
+    (an asymmetric mapping would break write/read round trips)."""
+    if identifier.startswith("/"):
+        return identifier
+    return "/tmp/dagli_spark_tables/" + identifier.replace(".", "/")
+
+
 def write_table(
     df: DataFrame, identifier: str, *,
     partition_by: list[str] | None = None, mode: str = "overwrite",
@@ -61,6 +70,8 @@ def write_table(
     parquet directory named by ``identifier`` (dots -> path separators).
     Returns the storage identifier actually used."""
     spark = df.sparkSession
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
     if iceberg_available(spark):
         w = df.writeTo(identifier)
         if partition_by:
@@ -69,7 +80,7 @@ def write_table(
             w = w.partitionedBy(*[F.col(c) for c in partition_by])
         (w.createOrReplace() if mode == "overwrite" else w.append())
         return identifier
-    path = "/tmp/dagli_spark_tables/" + identifier.replace(".", "/")
+    path = _fallback_path(identifier)
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -91,7 +102,4 @@ def read_table(spark: SparkSession, identifier: str, *,
             "snapshot time-travel requires the Iceberg runtime; the parquet "
             "fallback exposes content-keyed checkpoints instead "
             "(dagli_spark.checkpoint.Checkpointer)")
-    if identifier.startswith("/"):
-        return spark.read.parquet(identifier)
-    return spark.read.parquet(
-        "/tmp/dagli_spark_tables/" + identifier.replace(".", "/"))
+    return spark.read.parquet(_fallback_path(identifier))

@@ -107,8 +107,10 @@ def stratified_sample(
         u = (F.pmod(F.xxhash64(k, F.lit(seed)), F.lit(1 << 32))
              / F.lit(float(1 << 32)))
     elif method == "lcg":
-        u = ((k.cast("long") * F.lit(2654435761) + F.lit(seed))
-             % F.lit(2**32) / F.lit(float(2**32)))
+        # pmod, not %: signed modulo of a negative key is negative, which
+        # would make u < frac true for EVERY label (sampling disabled)
+        u = (F.pmod(k.cast("long") * F.lit(2654435761) + F.lit(seed),
+                    F.lit(2**32)) / F.lit(float(2**32)))
     else:
         raise ValueError(method)
     frac = None
