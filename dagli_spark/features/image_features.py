@@ -100,6 +100,32 @@ def _features_batch(datas: "pd.Series") -> list[tuple]:
     return out
 
 
+def append_binary_features(
+    df: DataFrame, bytes_col: str, fields, batch_fn, *,
+    drop_bytes: bool = True,
+) -> DataFrame:
+    """Shared mapInPandas scaffold for binary-column featurizers (image /
+    audio / video): Arrow-batched, appends ``fields``, optionally consumes
+    the payload inside the UDF (never echo fat columns back — the double
+    Arrow crossing costs ~10x the feature math). ``batch_fn(series) ->
+    list[tuple]`` returns one feature tuple (or all-None) per row."""
+    keep = [f for f in df.schema.fields
+            if not (drop_bytes and f.name == bytes_col)]
+    out_schema = StructType(keep + list(fields))
+    names = [f.name for f in fields]
+    keep_names = [f.name for f in keep]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            feats = batch_fn(pdf[bytes_col])
+            fdf = pd.DataFrame(feats, columns=names, index=pdf.index)
+            yield pd.concat([pdf[keep_names], fdf], axis=1)
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 def with_decode_features(df: DataFrame, bytes_col: str = "bytes",
                          *, drop_bytes: bool = True) -> DataFrame:
     """Decode + pixel statistics + recomputed phash, appended to every row.
@@ -110,21 +136,8 @@ def with_decode_features(df: DataFrame, bytes_col: str = "bytes",
     back — otherwise every image crosses the Arrow boundary twice, and the
     JVM->Python->JVM round trip of the fat column costs ~10x the actual
     decode at scale."""
-    keep = [f for f in df.schema.fields
-            if not (drop_bytes and f.name == bytes_col)]
-    out_schema = StructType(keep + DECODE_FIELDS)
-    names = [f.name for f in DECODE_FIELDS]
-    keep_names = [f.name for f in keep]
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            feats = _features_batch(pdf[bytes_col])
-            fdf = pd.DataFrame(feats, columns=names, index=pdf.index)
-            yield pd.concat([pdf[keep_names], fdf], axis=1)
-
-    return df.mapInPandas(gen, schema=out_schema)
+    return append_binary_features(df, bytes_col, DECODE_FIELDS,
+                                  _features_batch, drop_bytes=drop_bytes)
 
 
 def phash_embedding_col(phash_col: str = "phash") -> F.Column:

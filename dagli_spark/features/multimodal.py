@@ -10,12 +10,16 @@ partitioning — be exercised end-to-end in tests.
 
 Swapping in real codecs touches ONLY ``decode_audio`` / ``iter_video_frames``
 (e.g. soundfile.read / av.open); schemas and UDFs are unchanged.
+
+Robustness contract: a corrupt payload degrades to an all-null feature row
+(like a null payload) — one bad row must never fail the whole Spark stage.
+Unsupported REAL formats still raise NotImplementedError loudly (that is a
+deployment gap, not a data problem).
 """
 
 from __future__ import annotations
 
 import struct
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -25,8 +29,9 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     StructField,
-    StructType,
 )
+
+from dagli_spark.features.image_features import append_binary_features
 
 _FAKA = b"FAKA"  # fake audio: FAKA | u32 sample_rate | u32 n | int16 PCM
 _FAKV = b"FAKV"  # fake video: FAKV | u32 w | u32 h | u32 n_frames | frames
@@ -43,9 +48,14 @@ def encode_fake_audio(pcm: np.ndarray, sample_rate: int) -> bytes:
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     """-> (int16 PCM, sample_rate). Real formats (wav/flac/mp3) need an
     audio lib this container lacks — swap this function for
-    ``soundfile.read`` on a real cluster."""
+    ``soundfile.read`` on a real cluster. Raises ValueError for corrupt
+    FAKA payloads (truncated, zero sample rate)."""
     if data[:4] == _FAKA:
+        if len(data) < 12:
+            raise ValueError("truncated FAKA header")
         sr, n = struct.unpack("<II", data[4:12])
+        if sr == 0 or len(data) < 12 + 2 * n:
+            raise ValueError("corrupt FAKA payload")
         return np.frombuffer(data[12:12 + 2 * n], dtype=np.int16), sr
     raise NotImplementedError(
         "real audio codecs unavailable in this environment; only the FAKA "
@@ -61,38 +71,36 @@ AUDIO_FIELDS = [
     StructField("au_peak", DoubleType()),
 ]
 
+_AU_NULL = (None,) * len(AUDIO_FIELDS)
+
+
+def _audio_batch(datas: pd.Series) -> list[tuple]:
+    rows = []
+    for b in datas:
+        if b is None:
+            rows.append(_AU_NULL)
+            continue
+        try:
+            pcm, sr = decode_audio(b)
+        except ValueError:
+            rows.append(_AU_NULL)  # corrupt row degrades, job survives
+            continue
+        x = pcm.astype(np.float64) / 32768.0
+        zc = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+        rows.append((
+            len(pcm) / sr, sr,
+            float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+            zc, float(np.max(np.abs(x))) if len(x) else 0.0,
+        ))
+    return rows
+
 
 def with_audio_features(df: DataFrame, bytes_col: str = "audio_bytes",
                         *, drop_bytes: bool = True) -> DataFrame:
     """Duration / RMS / zero-crossing-rate / peak per row, Arrow-batched;
     the binary payload crosses into Python once and is not echoed back."""
-    keep = [f for f in df.schema.fields
-            if not (drop_bytes and f.name == bytes_col)]
-    out_schema = StructType(keep + AUDIO_FIELDS)
-    names = [f.name for f in AUDIO_FIELDS]
-    keep_names = [f.name for f in keep]
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            rows = []
-            for b in pdf[bytes_col]:
-                if b is None:
-                    rows.append((None,) * len(names))
-                    continue
-                pcm, sr = decode_audio(b)
-                x = pcm.astype(np.float64) / 32768.0
-                zc = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
-                rows.append((
-                    len(pcm) / sr, sr,
-                    float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
-                    zc, float(np.max(np.abs(x))) if len(x) else 0.0,
-                ))
-            fdf = pd.DataFrame(rows, columns=names, index=pdf.index)
-            yield pd.concat([pdf[keep_names], fdf], axis=1)
-
-    return df.mapInPandas(gen, schema=out_schema)
+    return append_binary_features(df, bytes_col, AUDIO_FIELDS,
+                                  _audio_batch, drop_bytes=drop_bytes)
 
 
 # ------------------------------------------------------------------ video
@@ -103,15 +111,25 @@ def encode_fake_video(frames: np.ndarray) -> bytes:
     return _FAKV + struct.pack("<III", w, h, n) + frames.tobytes()
 
 
-def iter_video_frames(data: bytes, *, every_n: int = 1):
-    """Yield (frame_index, (h, w) uint8 array). Real containers (mp4/webm)
-    need ffmpeg/PyAV — swap this for ``av.open`` frame iteration."""
+def _parse_fakv_header(data: bytes) -> tuple[int, int, int]:
+    """Validated (w, h, n_frames) — the ONE place the header is parsed."""
     if data[:4] != _FAKV:
         raise NotImplementedError(
             "real video demuxers unavailable in this environment; only the "
             "FAKV deterministic test container is supported (swap "
             "iter_video_frames for PyAV to enable mp4/webm)")
+    if len(data) < 16:
+        raise ValueError("truncated FAKV header")
     w, h, n = struct.unpack("<III", data[4:16])
+    if len(data) < 16 + n * w * h:
+        raise ValueError("truncated FAKV frames")
+    return w, h, n
+
+
+def iter_video_frames(data: bytes, *, every_n: int = 1):
+    """Yield (frame_index, (h, w) uint8 array) lazily — one frame in memory
+    at a time (a real PyAV swap keeps the same generator shape)."""
+    w, h, n = _parse_fakv_header(data)
     frame_sz = w * h
     for i in range(0, n, every_n):
         off = 16 + i * frame_sz
@@ -126,39 +144,47 @@ VIDEO_FIELDS = [
     StructField("vi_motion_energy", DoubleType()),
 ]
 
+_VI_NULL = (None,) * len(VIDEO_FIELDS)
+
+
+def _video_batch_fn(every_n: int):
+    def batch(datas: pd.Series) -> list[tuple]:
+        rows = []
+        for b in datas:
+            if b is None:
+                rows.append(_VI_NULL)
+                continue
+            try:
+                _w, _h, total = _parse_fakv_header(b)
+            except ValueError:
+                rows.append(_VI_NULL)
+                continue
+            # streaming fold: only the previous frame stays in memory —
+            # materializing every sampled frame of a long video would OOM
+            n_s, bright_sum, motion_sum, prev = 0, 0.0, 0.0, None
+            for _, frame in iter_video_frames(b, every_n=every_n):
+                n_s += 1
+                bright_sum += float(frame.mean())
+                if prev is not None:
+                    motion_sum += float(
+                        np.abs(frame.astype(np.int32)
+                               - prev.astype(np.int32)).mean())
+                prev = frame
+            rows.append((
+                total, n_s,
+                bright_sum / n_s if n_s else None,
+                motion_sum / (n_s - 1) if n_s > 1 else 0.0 if n_s else None,
+            ))
+        return rows
+
+    return batch
+
 
 def with_video_features(df: DataFrame, bytes_col: str = "video_bytes",
                         *, every_n: int = 1,
                         drop_bytes: bool = True) -> DataFrame:
     """Frame-sampled brightness + inter-frame motion energy (mean |Δ|
     between consecutive SAMPLED frames) per row, Arrow-batched."""
-    keep = [f for f in df.schema.fields
-            if not (drop_bytes and f.name == bytes_col)]
-    out_schema = StructType(keep + VIDEO_FIELDS)
-    names = [f.name for f in VIDEO_FIELDS]
-    keep_names = [f.name for f in keep]
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            rows = []
-            for b in pdf[bytes_col]:
-                if b is None:
-                    rows.append((None,) * len(names))
-                    continue
-                total = struct.unpack("<III", b[4:16])[2]
-                frames = [f for _, f in iter_video_frames(b, every_n=every_n)]
-                bright = float(np.mean([f.mean() for f in frames]))
-                motion = 0.0
-                if len(frames) > 1:
-                    motion = float(np.mean([
-                        np.abs(frames[i + 1].astype(np.int32)
-                               - frames[i].astype(np.int32)).mean()
-                        for i in range(len(frames) - 1)
-                    ]))
-                rows.append((total, len(frames), bright, motion))
-            fdf = pd.DataFrame(rows, columns=names, index=pdf.index)
-            yield pd.concat([pdf[keep_names], fdf], axis=1)
-
-    return df.mapInPandas(gen, schema=out_schema)
+    return append_binary_features(df, bytes_col, VIDEO_FIELDS,
+                                  _video_batch_fn(every_n),
+                                  drop_bytes=drop_bytes)

@@ -260,7 +260,13 @@ SCALES = {
 
 def materialize(spark: SparkSession, scale: str, *, seed: int = 42,
                 base_dir: str = "/tmp/dagli_spark_fixtures") -> dict[str, str]:
-    """Generate-once, cache-as-parquet. Returns table name -> path."""
+    """Generate-once, cache-as-parquet. Returns table name -> path.
+
+    Cache check and write target assume a filesystem shared between driver
+    and executors (local[N], or a cluster with a shared mount); on a real
+    multi-node cluster point base_dir at shared storage (HDFS/S3 via an
+    appropriate path) or pre-generate the fixture once — the driver-local
+    ``os.path`` check cannot see a cluster-default filesystem."""
     n_img, n_ent, n_ev, n_q = SCALES[scale]
     root = os.path.join(base_dir, f"seed{seed}_{scale}")
     paths = {t: os.path.join(root, t) for t in ("images", "image_events", "queries")}

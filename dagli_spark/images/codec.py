@@ -63,6 +63,11 @@ def decode_png(data: bytes) -> np.ndarray:
         if typ == b"IHDR":
             w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
             assert depth == 8 and ctype == 2, "only 8-bit RGB supported"
+            # compression / filter-method / interlace bytes: only 0/0/0 is
+            # supported — an Adam7-interlaced file would otherwise reshape
+            # to garbage or raise an opaque ValueError downstream
+            assert body[10] == 0 and body[11] == 0, "nonstandard PNG methods"
+            assert body[12] == 0, "interlaced PNG not supported"
         elif typ == b"IDAT":
             idat.append(body)
         elif typ == b"IEND":

@@ -39,14 +39,49 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
 
 
+def _struct_body(line: str) -> str:
+    """The bracket-balanced body of 'struct<...>' (a greedy single-'>' stop
+    truncates at the first nested type like array<float>)."""
+    start = line.index("struct<") + len("struct<")
+    depth = 1
+    for i in range(start, len(line)):
+        if line[i] == "<":
+            depth += 1
+        elif line[i] == ">":
+            depth -= 1
+            if depth == 0:
+                return line[start:i]
+    return line[start:]
+
+
+def _top_level_fields(body: str) -> list[str]:
+    """Field names of a struct body, splitting on commas only at depth 0
+    (commas inside decimal(10,2) / nested structs are type syntax)."""
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [f.split(":")[0].strip() for f in out if f.strip()]
+
+
 def scan_columns(df: DataFrame) -> list[list[str]]:
     """ReadSchema column lists per scan — the column-pruning audit: a scan
-    reading `bytes` outside a decode stage is a bug."""
+    reading `bytes` outside a decode stage is a bug. Parses nested /
+    parameterized types correctly (array<...>, decimal(p,s), struct<...>)."""
     plan = formatted_plan(df)
     out = []
-    for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
-        cols = [c.split(":")[0].strip() for c in m.split(",") if c.strip()]
-        out.append(cols)
+    for line in plan.splitlines():
+        if "ReadSchema: struct<" in line:
+            out.append(_top_level_fields(_struct_body(line)))
     return out
 
 

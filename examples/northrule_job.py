@@ -52,9 +52,16 @@ def main() -> int:
         out = run(spark, paths, **opts)
     out.write.mode("overwrite").parquet(args.output)
 
-    audit = leakage_audit(spark.read.parquet(args.output))
+    try:
+        audit = leakage_audit(spark.read.parquet(args.output))
+    except AssertionError as e:
+        # emit the machine-readable verdict even on violation (the audit
+        # raises; without this the job would die with a bare traceback)
+        print(json.dumps({"output": args.output, "violations": -1,
+                          "error": str(e)}))
+        return 1
     print(json.dumps({"output": args.output, **audit}))
-    return 0 if audit["violations"] == 0 else 1
+    return 0
 
 
 if __name__ == "__main__":

@@ -56,3 +56,35 @@ def test_real_codecs_are_clearly_stubbed():
         decode_audio(b"RIFFxxxxWAVE")  # a real wav header path
     with pytest.raises(NotImplementedError, match="PyAV"):
         next(iter_video_frames(b"\x00\x00\x00 ftypmp42"))
+
+
+def test_corrupt_payloads_degrade_to_null_rows(spark):
+    """One corrupt row must not fail the stage: truncated/zero-rate FAKA
+    and truncated FAKV degrade to all-null feature rows; healthy rows in
+    the same batch still produce features."""
+    import struct as _struct
+
+    good_a = encode_fake_audio(_sine_pcm(), 8000)
+    bad_rate = b"FAKA" + _struct.pack("<II", 0, 4) + b"\x00" * 8
+    truncated = b"FAKA" + b"\x01"
+    df = spark.createDataFrame(
+        [(1, good_a), (2, bad_rate), (3, truncated)],
+        "id int, audio_bytes binary")
+    got = {r["id"]: r["au_rms"] for r in with_audio_features(df).collect()}
+    assert got[1] is not None and got[2] is None and got[3] is None
+
+    frames = np.zeros((2, 4, 4), np.uint8)
+    df2 = spark.createDataFrame(
+        [(1, encode_fake_video(frames)), (2, b"FAKV\x00")],
+        "id int, video_bytes binary")
+    got2 = {r["id"]: r["vi_sampled_frames"]
+            for r in with_video_features(df2).collect()}
+    assert got2[1] == 2 and got2[2] is None
+
+
+def test_zero_frame_video_is_null_not_nan(spark):
+    empty = encode_fake_video(np.zeros((0, 4, 4), np.uint8))
+    df = spark.createDataFrame([(1, empty)], "id int, video_bytes binary")
+    r = with_video_features(df).first()
+    assert r["vi_n_frames"] == 0 and r["vi_sampled_frames"] == 0
+    assert r["vi_mean_brightness"] is None and r["vi_motion_energy"] is None

@@ -153,3 +153,19 @@ def test_observed_metrics(spark, sf_dir):
     from dagli_spark.plans.inspect import observed
     df2 = observed(ev, "stage1", F.count(F.lit(1)).alias("rows"))
     assert df2.count() == n
+
+
+def test_scan_columns_parses_nested_types(spark):
+    """The pruning audit must not truncate at nested type brackets — a
+    dropped `bytes` column would make the audit pass silently."""
+    from dagli_spark.plans.inspect import _struct_body, _top_level_fields
+
+    line = "ReadSchema: struct<a:array<float>,bytes:binary,d:decimal(10,2)>"
+    assert _top_level_fields(_struct_body(line)) == ["a", "bytes", "d"]
+    emb = spark.createDataFrame(
+        [(1, [1.0], b"x")], "id int, v array<double>, bytes binary")
+    emb.write.mode("overwrite").parquet("/tmp/nested_scan_probe")
+    from dagli_spark.plans.inspect import scan_columns
+    cols = scan_columns(
+        spark.read.parquet("/tmp/nested_scan_probe").select("v", "bytes"))
+    assert any("bytes" in c and "v" in c for c in cols), cols
