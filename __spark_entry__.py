@@ -691,6 +691,41 @@ def q_northrule(spark, sf_dir):
     return out.select("entity_id", "asof_time", "qseq", "feature_vector")
 
 
+def q_northrule_temporal(spark, sf_dir):
+    """The flagship pipeline's TEMPORAL feature subset (sessionize + lag +
+    rolling + strict as-of), oracle-checkable over the standard events table
+    — same composition as ``entry``/northrule.run minus the pixel stage
+    (which stays PSNR-pinned in tests/test_northrule.py). Gives the north
+    rule a driver-visible correctness row."""
+    ev = _t(spark, sf_dir, "events")
+    w = wf.spec("user_id", ["ts", "event_id"])
+    feats = wf.sessionize(ev, "ts", F.expr("INTERVAL 30 MINUTES"), w)
+    feats = wf.with_lag(feats, "value", 1, w, alias="value_lag1")
+    feats = wf.rolling(
+        feats, {"value_avg5": F.avg("value"), "cnt5": F.count("value")},
+        w, rows=(-4, 0),
+    )
+    events_side = feats.select(
+        "user_id", "ts",
+        F.col("value").alias("ev_value"),
+        F.col("event_id").alias("ev_id"),
+        "session_id", "value_lag1", "value_avg5", "cnt5",
+    )
+    out = asof_join(
+        _purchase_queries(ev), events_side, on="user_id",
+        left_time="asof_time", right_time="ts",
+        values=["ev_value", "ev_id", "session_id", "value_lag1",
+                "value_avg5", "cnt5"],
+        tiebreak="ev_id", strict=True,
+    )
+    return out.select(
+        "user_id", "asof_time", "qid",
+        F.round("ev_value", 2).alias("ev_value"), "ev_id", "session_id",
+        F.round("value_lag1", 2).alias("value_lag1"),
+        F.round("value_avg5", 4).alias("value_avg5"), "cnt5",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -750,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indices": q_indices,
         "hamming": q_hamming,
         "northrule_features": q_northrule,
+        "northrule_temporal": q_northrule_temporal,
     }
 
 
@@ -830,9 +866,9 @@ def oracle_sql() -> dict[str, str]:
                                    THEN 1 ELSE 0 END AS is_new
                        FROM events)
             SELECT event_id, user_id,
-                   sum(is_new) OVER ({_EVENT_WINDOW}
+                   CAST(sum(is_new) OVER ({_EVENT_WINDOW}
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-                     AS session_id
+                     AS BIGINT) AS session_id
             FROM g
         """,
         "session_stats": f"""
@@ -842,9 +878,9 @@ def oracle_sql() -> dict[str, str]:
                                           + INTERVAL 30 MINUTE
                                    THEN 1 ELSE 0 END AS is_new
                        FROM events),
-                 s AS (SELECT *, sum(is_new) OVER ({_EVENT_WINDOW}
+                 s AS (SELECT *, CAST(sum(is_new) OVER ({_EVENT_WINDOW}
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-                             AS session_id
+                             AS BIGINT) AS session_id
                        FROM g)
             SELECT user_id, session_id, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value,
@@ -1182,6 +1218,38 @@ def oracle_sql() -> dict[str, str]:
                                       CAST(event_id * 40503 AS BIGINT)))
                         AS INT) AS hamming
             FROM events
+        """,
+        "northrule_temporal": f"""
+            WITH g AS (SELECT *,
+                              CASE WHEN lag(ts) OVER ({_EVENT_WINDOW}) IS NULL
+                                     OR ts > lag(ts) OVER ({_EVENT_WINDOW})
+                                          + INTERVAL 30 MINUTE
+                                   THEN 1 ELSE 0 END AS is_new
+                       FROM events),
+                 f AS (SELECT event_id, user_id, ts, value,
+                              CAST(sum(is_new) OVER ({_EVENT_WINDOW}
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                                AS BIGINT) AS session_id,
+                              lag(value, 1) OVER ({_EVENT_WINDOW}) AS value_lag1,
+                              avg(value) OVER ({_EVENT_WINDOW}
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                                AS value_avg5,
+                              count(value) OVER ({_EVENT_WINDOW}
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cnt5
+                       FROM g),
+                 q AS (SELECT user_id, ts AS asof_time, event_id AS qid
+                       FROM events WHERE event_type='purchase')
+            SELECT q.user_id, q.asof_time, q.qid,
+                   round(m.ev_value, 2) AS ev_value, m.ev_id, m.session_id,
+                   round(m.value_lag1, 2) AS value_lag1,
+                   round(m.value_avg5, 4) AS value_avg5, m.cnt5
+            FROM q LEFT JOIN LATERAL (
+                SELECT f.value AS ev_value, f.event_id AS ev_id, f.session_id,
+                       f.value_lag1, f.value_avg5, f.cnt5
+                FROM f
+                WHERE f.user_id = q.user_id AND f.ts < q.asof_time
+                ORDER BY f.ts DESC, f.event_id DESC LIMIT 1
+            ) m ON TRUE
         """,
         # bucket_index: equi-depth DP fit not SQL-expressible (rows-only).
         # minhash_pairs / simhash_pairs / knn_lsh / lang_id: xxhash64-family
