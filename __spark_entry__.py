@@ -691,6 +691,46 @@ def q_northrule(spark, sf_dir):
     return out.select("entity_id", "asof_time", "qseq", "feature_vector")
 
 
+def q_ranking_eval(spark, sf_dir):
+    """RankingEvaluationResult: full ranking-evaluation struct (correct /
+    incorrect / no-prediction counts, accuracy, MRR@3) where the ranked
+    list is the top-10 embedding component indices (empty every 7th row to
+    exercise the no-prediction branch)."""
+    from dagli_spark.operators.evaluation import ranking_evaluation
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = F.array(*[
+        F.struct((-F.element_at("embedding", i + 1).cast("double")).alias("nd"),
+                 F.lit(i).alias("i"))
+        for i in range(10)
+    ])
+    ranked = F.when(
+        F.col("vec_id") % 7 != 0,
+        F.transform(F.array_sort(pairs), lambda s: s["i"]),
+    ).otherwise(F.array().cast("array<int>"))
+    res = ranking_evaluation(
+        e.withColumn("ranked", ranked), "label", "ranked", 3)
+    return spark.createDataFrame(
+        [(res["total_count"], res["correct_count"], res["incorrect_count"],
+          res["no_prediction_count"],
+          round(res["unweighted_accuracy"], 6),
+          round(res["unweighted_mrr"], 6))],
+        "total_n long, n_correct long, n_incorrect long, n_nopred long, "
+        "acc double, mrr double",
+    )
+
+
+def q_tokens_locale(spark, sf_dir):
+    """Locale-aware rule-based tokenizer (the reference Tokens.java parity
+    path; JFlex-grammar rules as a cached compiled alternation). The rule
+    regex needs lookahead, which DuckDB's RE2 lacks -> rows-only; the
+    Python-side oracle is pinned in tests/test_tokens_locale.py."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(T.tokens_locale("text", "en")).alias("pos", "token"))
+
+
 def q_northrule_temporal(spark, sf_dir):
     """The flagship pipeline's TEMPORAL feature subset (sessionize + lag +
     rolling + strict as-of), oracle-checkable over the standard events table
@@ -786,10 +826,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming": q_hamming,
         "northrule_features": q_northrule,
         "northrule_temporal": q_northrule_temporal,
+        "tokens_locale": q_tokens_locale,
+        "ranking_eval": q_ranking_eval,
     }
 
 
 _EVENT_WINDOW = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+# ---- fitted-literal oracles (bucket_index / kmeans / isotonic) ----------
+# Only the FIT of these is non-SQL-expressible; the APPLY is plain SQL over
+# the fitted state, so we inline the state (fitted once at sf0.01 — the
+# driver's correctness scale — by tools/gen_oracle_literals.py; stability
+# across session configs pinned by tests/test_oracle_literals.py) and let
+# DuckDB check the apply independently.
+
+def _bucket_oracle() -> str:
+    from dagli_spark.oracle_literals import BUCKET_BOUNDS
+
+    cases = " ".join(
+        f"WHEN value_int <= {b} THEN {i}" for i, b in enumerate(BUCKET_BOUNDS)
+    )
+    return f"""
+        SELECT event_id,
+               CASE {cases} ELSE {len(BUCKET_BOUNDS)} END AS bucket
+        FROM (SELECT event_id, CAST(floor(value) AS INT) AS value_int
+              FROM events)
+    """
+
+
+def _kmeans_oracle() -> str:
+    from dagli_spark.oracle_literals import KMEANS_CENTERS
+
+    dim = len(KMEANS_CENTERS[0])
+    dists = []
+    for ci, c in enumerate(KMEANS_CENTERS):
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        dists.append(
+            f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+            f"(CAST(embedding[i] AS DOUBLE) - ({lit})[i])"
+            f" * (CAST(embedding[i] AS DOUBLE) - ({lit})[i]))) AS d{ci}"
+        )
+    k = len(KMEANS_CENTERS)
+    # argmin with ties to the lower index (matches np.argmin)
+    argmin = "CASE " + " ".join(
+        "WHEN " + " AND ".join(f"d{i} <= d{j}" for j in range(i + 1, k))
+        + f" THEN {i}" for i in range(k - 1)
+    ) + f" ELSE {k - 1} END"
+    return f"""
+        WITH d AS (SELECT {", ".join(dists)} FROM embeddings)
+        SELECT {argmin} AS cluster, count(*) AS n
+        FROM d GROUP BY cluster
+    """
+
+
+def _isotonic_oracle() -> str:
+    from dagli_spark.oracle_literals import ISO_XS, ISO_YS
+
+    vals = ", ".join(f"({x!r}, {y!r})" for x, y in zip(ISO_XS, ISO_YS))
+    # np.interp semantics: clamp outside [xs[0], xs[-1]], else linear
+    # interpolation on the bracketing segment (same float-op order)
+    return f"""
+        WITH b AS (SELECT * FROM (VALUES {vals}) t(x, y)),
+             p AS (SELECT CAST(embedding[1] AS DOUBLE) AS s FROM embeddings)
+        SELECT round(p.s, 4) AS s,
+               round(CASE
+                   WHEN p.s <= {ISO_XS[0]!r} THEN {ISO_YS[0]!r}
+                   WHEN p.s >= {ISO_XS[-1]!r} THEN {ISO_YS[-1]!r}
+                   ELSE lo.y + (p.s - lo.x) * ((hi.y - lo.y) / (hi.x - lo.x))
+               END, 4) AS cal
+        FROM p
+        LEFT JOIN LATERAL (SELECT x, y FROM b WHERE b.x <= p.s
+                           ORDER BY b.x DESC LIMIT 1) lo ON TRUE
+        LEFT JOIN LATERAL (SELECT x, y FROM b WHERE b.x > p.s
+                           ORDER BY b.x ASC LIMIT 1) hi ON TRUE
+    """
 
 _ASOF_ORACLE = """
     WITH q AS (SELECT user_id, ts AS asof_time, event_id AS qid
@@ -1251,11 +1362,38 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY f.ts DESC, f.event_id DESC LIMIT 1
             ) m ON TRUE
         """,
-        # bucket_index: equi-depth DP fit not SQL-expressible (rows-only).
-        # minhash_pairs / simhash_pairs / knn_lsh / lang_id: xxhash64-family
-        # dependent (documented different hash family than the reference's
-        # MurmurHash3); kmeans / isotonic / northrule_features: iterative or
-        # non-SQL-expressible — driver records rows-only checks.
+        "ranking_eval": """
+            WITH x AS (SELECT vec_id, label,
+                              list_transform(embedding[1:10],
+                                             e -> CAST(e AS DOUBLE)) AS c,
+                              CAST(embedding[label + 1] AS DOUBLE) AS et
+                       FROM embeddings),
+                 p AS (SELECT CASE WHEN vec_id % 7 = 0 THEN NULL
+                                   ELSE 1 + len(list_filter(c, e -> e > et))
+                              END AS pos
+                       FROM x)
+            SELECT count(*) AS total_n,
+                   CAST(count(CASE WHEN pos <= 3 THEN 1 END) AS BIGINT)
+                     AS n_correct,
+                   CAST(count(CASE WHEN pos > 3 THEN 1 END) AS BIGINT)
+                     AS n_incorrect,
+                   CAST(count(CASE WHEN pos IS NULL THEN 1 END) AS BIGINT)
+                     AS n_nopred,
+                   round(count(CASE WHEN pos <= 3 THEN 1 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS acc,
+                   round(sum(CASE WHEN pos <= 3 THEN 1.0 / pos ELSE 0.0 END)
+                         / count(*), 6) AS mrr
+            FROM p
+        """,
+        "bucket_index": _bucket_oracle(),
+        "kmeans": _kmeans_oracle(),
+        "isotonic": _isotonic_oracle(),
+        # minhash_pairs / simhash_pairs / knn_lsh / knn_ivf / lang_id:
+        # xxhash64-family dependent (documented different hash family than
+        # the reference's MurmurHash3) — rows-only; northrule_features is
+        # array-valued over a /tmp fixture (rows-only; its temporal subset
+        # is oracle-checked via northrule_temporal and the pixel stage is
+        # PSNR-pinned in tests).
     }
 
 

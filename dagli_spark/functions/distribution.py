@@ -59,6 +59,31 @@ def binary_distribution(prob) -> Column:
     )
 
 
+def sparse_vector_from_distribution(col, *, seed: int = 0) -> Column:
+    """Distribution -> sparse vector ``map<hash(label), prob>``
+    (common/.../distribution/SparseVectorFromDistribution.java:19-33: each
+    label hashes to its vector index, probability becomes the value).
+    Hash family: xxhash64(seed, label) — documented swap for the
+    reference's default Object.hashCode()/custom hasher."""
+    m = _c(col)
+    return F.map_from_arrays(
+        F.transform(F.map_keys(m), lambda k: F.xxhash64(F.lit(seed), k)),
+        F.map_values(m),
+    )
+
+
+def dense_vector_from_distribution(col, labels: list) -> Column:
+    """Distribution -> dense probability vector over a KNOWN label order
+    (common/.../distribution/DenseVectorFromDistribution.java:50-60:
+    element i = probability of labels[i]; labels absent from the
+    distribution get 0.0, distribution labels outside the list are
+    ignored)."""
+    m = _c(col)
+    return F.array(*[
+        F.coalesce(F.element_at(m, F.lit(la)), F.lit(0.0)) for la in labels
+    ])
+
+
 def sampled_with_replacement(col, key, *, seed: int = 0) -> Column:
     """Seeded sampling from a per-row distribution
     (common/.../transformer/SampledWithReplacement.java:27, AliasSampler).

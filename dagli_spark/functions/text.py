@@ -14,6 +14,10 @@ rolling-hash document fingerprints.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -72,6 +76,30 @@ def accentless(col) -> Column:
     return F.translate(c, _ACCENT_SRC, _ACCENT_DST)
 
 
+def accent_folded(col) -> Column:
+    """Full-Unicode accent folding (text/.../Accentless.java:22's ICU
+    transliteration re-expressed with the standard algorithm it applies:
+    NFD-decompose, drop combining marks, NFC-recompose) — Arrow-batched
+    pandas UDF. Use :func:`accentless` for the JVM-side Latin fast path."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _fold(s):
+        def fold(x):
+            if x is None:
+                return None
+            decomposed = unicodedata.normalize("NFD", x)
+            return unicodedata.normalize(
+                "NFC",
+                "".join(ch for ch in decomposed
+                        if not unicodedata.combining(ch)))
+        return s.map(fold)
+
+    return _fold(F.col(col) if isinstance(col, str) else col)
+
+
 def normalized_unicode(col, form: str = "NFC") -> Column:
     """Unicode normalization (text/.../NormalizedUnicode.java:17) as an
     Arrow-batched pandas UDF (no JVM builtin exists)."""
@@ -108,6 +136,88 @@ def tokens(col) -> Column:
 
 def token_count(col) -> Column:
     return F.size(tokens(col))
+
+
+# ---------------------------------------------------- locale-aware tokens
+
+# Rule-based natural-text tokenizer mirroring the reference's JFlex lexers
+# (text-tokenization-jflex/src/main/jflex/.../JFlexTokenizerMacros.inc,
+# JFlexTokenizerDefaultRules.inc, JFlexEnglishLexer.jflex:28-40): one
+# compiled alternation per locale, ordered most-specific-first to emulate
+# lexer rule priority. English adds contraction splitting ("don't" ->
+# "do", "n't"; "'ll", "'ve", ...); German and the generic fallback use the
+# shared rules only (JFlexTokenizer.java:30-37 picks the lexer the same
+# way). Compiled patterns are cached per (executor-process, locale) — the
+# analogue of Tokens.java's ConcurrentHashMap<Locale, tokenizer> cache
+# (Tokens.java:41, 14-40).
+
+_APO = "['’`´‘‛]"
+
+_SHARED_RULES_PRE = [
+    r"https?://\S+|www\.\S+",                      # URL
+    r"[\w.%+-]+@[\w.-]+\.[A-Za-z]{2,}",            # EMAIL
+    r"[@#]\w+",                                    # handle / hashtag
+    r"\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{2,4}",  # DATE
+    r"\d{1,2}:\d{2}(?::\d{2})?",                   # TIME
+    r"\d+(?:[.,]\d+)+",                            # NUM with separators
+    r"(?:[^\W\d_]\.){2,}[^\W\d_]?",                # ABBREV (U.S., e.g.)
+]
+_SHARED_RULES_POST = [
+    r"[^\W_]+",                                    # WORD ([:letter:][:digit:] runs)
+    r"\.\.\.+|[=+_*~$#@/\-]{3,}",                  # HOR_LINE / ellipsis
+    r"\.\.|--|\+\+|\$\$|<<|>>|==",                 # DBL_SYM
+    r"[><|}{]?[:;=8B][o^\-]?[)\]D}>(\[{<pPdO3/|*$@][}>\]]?",  # EMOTICON
+    r"[?!]+|\.",                                   # sentence punctuation
+    _APO,                                          # lone apostrophe
+    r"[^\w\s]",                                    # any other symbol
+]
+_EN_RULES = [
+    _APO + r"(?:m|ve|d|s|ll|re|tis|twas)(?![^\W_])",  # clitic contractions
+    r"n" + _APO + r"t(?![^\W_])",                     # n't
+    r"[^\W_]+?(?=n" + _APO + r"t(?![^\W_]))",         # word before n't
+]
+
+_TOKENIZER_CACHE: dict = {}
+
+
+def _locale_pattern(locale: str):
+    """Compiled per-locale rule set (executor-local cache)."""
+    import re
+
+    lang = (locale or "en").split("-")[0].split("_")[0].lower()
+    pat = _TOKENIZER_CACHE.get(lang)
+    if pat is None:
+        extra = _EN_RULES if lang == "en" else []
+        rules = _SHARED_RULES_PRE + extra + _SHARED_RULES_POST
+        pat = re.compile("|".join(f"(?:{r})" for r in rules),
+                         re.IGNORECASE | re.UNICODE)
+        _TOKENIZER_CACHE[lang] = pat
+    return pat
+
+
+def tokenize_text(text: str, locale: str = "en") -> list[str]:
+    """Driver-side/oracle entry point for the locale tokenizer."""
+    if text is None:
+        return None
+    return _locale_pattern(locale).findall(text)
+
+
+def tokens_locale(col, locale: str = "en") -> Column:
+    """Locale-aware rule-based tokenizer (words, contractions,
+    abbreviations, dates/times, URLs/emails, handles, punctuation) as an
+    iterator Arrow UDF — the pattern compiles once per executor per locale
+    and is reused across batches. The whitespace :func:`tokens` stays the
+    oracle-portable default; this is the reference-parity path
+    (Tokens.java:14-40)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _tok(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        pat = _locale_pattern(locale)
+        for s in batches:
+            yield s.map(lambda x: pat.findall(x) if x is not None else None)
+
+    return _tok(F.col(col) if isinstance(col, str) else col)
 
 
 # GPT-2-style pretokenizer approximation, restricted to constructs shared

@@ -97,6 +97,21 @@ def nearest_vector(vec, candidates: list[list[float]], *, metric: str = "l2") ->
 
 # ---------------------------------------------------------------- sparse ops
 
+def max_nonzero_index(col, *, on_zero=None) -> Column:
+    """Highest index with a non-zero value in a sparse ``map<long,double>``
+    vector; null (or ``on_zero``) for zero/empty vectors
+    (common/.../vector/MaxNonZeroVectorElementIndex.java:16-39)."""
+    mx = F.array_max(
+        F.map_keys(F.map_filter(_c(col), lambda k, v: v != 0)))
+    return mx if on_zero is None else F.coalesce(mx, F.lit(on_zero))
+
+
+def dense_capacity(col) -> Column:
+    """Length of a dense ``array`` vector — DenseVector#capacity()
+    (common/.../vector/DenseVectorCapacity.java:12-20)."""
+    return F.size(_c(col)).cast("long")
+
+
 def many_hot(indices) -> Column:
     """indices array -> map of 1.0 (ManyHotVector,
     common/.../vector/ManyHotVector.java:15-20)."""

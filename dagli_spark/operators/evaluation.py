@@ -98,6 +98,55 @@ def binary_evaluation(
     }
 
 
+def ranking_evaluation(
+    df: DataFrame, truth: str, labels_ranked: str, k: int | None = None,
+    *, weight=None,
+) -> dict:
+    """RankingEvaluationResult
+    (common/.../evaluation/RankingEvaluationResultBase.java:20-78, filled
+    the way TopKEvaluation.java:190-205 does): per example, pos = 1-based
+    position of the true label in the (top-k of the) ranked list.
+
+    - present -> correct (count + weight), reciprocal rank = 1/pos;
+    - absent from a NON-EMPTY list -> incorrect, reciprocal rank 0;
+    - empty/null list -> "no prediction" (neither correct nor incorrect,
+      derived as total - correct - incorrect, reciprocal rank 0).
+
+    One distributed aggregate; result is the reference's full struct
+    including weighted/unweighted accuracy and MRR."""
+    w = F.col(weight) if weight else F.lit(1.0)
+    lst = (F.col(labels_ranked) if k is None
+           else F.slice(F.col(labels_ranked), 1, k))
+    pos = F.array_position(lst, F.col(truth))
+    hit = pos > 0
+    empty = F.col(labels_ranked).isNull() | (F.size(F.col(labels_ranked)) == 0)
+    miss = ~empty & (pos == 0)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.sum(w).alias("total_weight"),
+        F.sum(F.when(hit, 1).otherwise(0)).alias("correct_count"),
+        F.sum(F.when(hit, w).otherwise(0.0)).alias("correct_weight"),
+        F.sum(F.when(miss, 1).otherwise(0)).alias("incorrect_count"),
+        F.sum(F.when(miss, w).otherwise(0.0)).alias("incorrect_weight"),
+        F.sum(F.when(hit, 1.0 / pos).otherwise(0.0)).alias("rr_sum"),
+        F.sum(F.when(hit, w / pos).otherwise(0.0)).alias("wrr_sum"),
+    ).first()
+    tc, tw = int(agg["total_count"]), float(agg["total_weight"] or 0.0)
+    cc, cw = int(agg["correct_count"] or 0), float(agg["correct_weight"] or 0.0)
+    ic, iw = int(agg["incorrect_count"] or 0), float(agg["incorrect_weight"] or 0.0)
+    return {
+        "total_count": tc, "total_weight": tw,
+        "correct_count": cc, "correct_weight": cw,
+        "incorrect_count": ic, "incorrect_weight": iw,
+        "no_prediction_count": tc - cc - ic,
+        "no_prediction_weight": tw - cw - iw,
+        "unweighted_accuracy": cc / tc if tc else None,
+        "weighted_accuracy": cw / tw if tw else None,
+        "unweighted_mrr": float(agg["rr_sum"]) / tc if tc else None,
+        "weighted_mrr": float(agg["wrr_sum"]) / tw if tw else None,
+    }
+
+
 def topk_evaluation(
     df: DataFrame, truth: str, labels_ranked: str, k: int,
 ) -> dict:

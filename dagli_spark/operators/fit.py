@@ -21,7 +21,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -55,11 +58,15 @@ def fit_index(
     """unknown_policy (UnknownItemPolicy.java:52): 'new' -> unseen (and
     over-cap) values get a fresh id == n_kept; 'most_frequent' -> id 0;
     'least_frequent' -> last kept id; or pass an explicit unknown_id."""
+    from dagli_spark.operators.twophase import global_row_number
+
     counts = df.groupBy(F.col(col).alias("value")).count()
     if min_freq > 1:
         counts = counts.where(F.col("count") >= min_freq)
-    w = Window.orderBy(F.col("count").desc(), F.col("value").asc())
-    ranked = counts.withColumn("id", F.row_number().over(w) - 1)
+    # two-phase global rank: no single-partition exchange even for a
+    # web-scale vocabulary (see operators/twophase.py)
+    ranked = global_row_number(
+        counts, [F.col("count").desc(), F.col("value").asc()], "id")
     if max_unique is not None:
         ranked = ranked.where(F.col("id") < max_unique)
     if unknown_id is None:
@@ -253,53 +260,42 @@ def order_statistic(df: DataFrame, col: str, quantiles: list[float], *,
 @dataclass
 class RankModel:
     """Rank of a probe value among the fitted population
-    (common/.../object/Rank.java:17-28): number of fitted values strictly
-    smaller. State = sorted value counts; apply = broadcast range join via a
-    cumulative-count lookup (no driver collect needed at scale)."""
+    (common/.../object/Rank.java:17-28): number of fitted *instances*
+    strictly smaller. State = sorted (value, cnt) boundaries — top-K-capped
+    when ``limit`` is set, exactly like the reference's limited list
+    (Rank.java:21-22 keeps only the ranks it can distinguish); apply =
+    one broadcast of the boundary arrays + ``np.searchsorted`` in an
+    Arrow-batched pandas UDF. No per-probe join, no nested-loop fallback:
+    cost is O(|probes| log |boundaries|) regardless of how many probes
+    miss an exact match (the round-1 fallback was O(misses x boundaries))."""
     col: str
-    cumulative: DataFrame  # value, below = #fitted strictly below value
+    cumulative: DataFrame  # value, below (= #instances strictly below), cnt
     limit: int | None = None
 
     def apply(self, df: DataFrame, *, out: str | None = None) -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import LongType
+
         out = out or f"{self.col}_rank"
-        c = F.broadcast(self.cumulative)
-        probe = df
-        j = probe.join(
-            c.select(F.col("value").alias(self.col), F.col("below"),
-                     F.col("cnt")),
-            on=self.col, how="left",
-        )
-        # exact-match probes rank = below; non-matching probes need the
-        # range fallback: below of the greatest fitted value < probe + its
-        # cnt. The fallback regroups by a row id assigned INSIDE this branch
-        # (single linear consumer), never by the probe's own columns —
-        # grouping on payload columns would collapse duplicate probe rows
-        # and break the one-result-per-row contract.
-        fallback = c.select(
-            F.col("value").alias("__rv"),
-            (F.col("below") + F.col("cnt")).alias("__rank_after"),
-        )
-        matched = j.where(F.col("below").isNotNull()) \
-            .withColumn(out, F.col("below")).drop("below", "cnt")
-        rid = "__rank_rid"
-        missing = (
-            j.where(F.col("below").isNull()).drop("below", "cnt")
-            .withColumn(rid, F.monotonically_increasing_id())
-        )
-        rank_expr = F.coalesce(F.max("__rank_after"), F.lit(0))
-        if self.limit is not None:
-            rank_expr = F.least(rank_expr, F.lit(self.limit))
-        mj = (
-            missing.join(F.broadcast(fallback),
-                         F.col(self.col) > F.col("__rv"), "left")
-            .groupBy(rid)
-            .agg(rank_expr.alias(out),
-                 *[F.first(col).alias(col) for col in missing.columns
-                   if col != rid])
-            .drop(rid)
-            .select(*matched.columns)
-        )
-        return matched.unionByName(mj)
+        state = self.cumulative.select("value", "cnt").orderBy("value").collect()
+        values = np.array([float(r["value"]) for r in state], dtype=np.float64)
+        prefix = np.concatenate(
+            [[0], np.cumsum([int(r["cnt"]) for r in state])]).astype(np.int64)
+        limit = self.limit
+        bc = df.sparkSession.sparkContext.broadcast((values, prefix))
+
+        @pandas_udf(LongType())
+        def _rank(s: pd.Series) -> pd.Series:
+            v, p = bc.value
+            x = s.astype("float64").to_numpy()
+            # NaN sorts past every boundary; null probes keep rank 0
+            r = p[np.searchsorted(v, x, side="left")]
+            r[np.isnan(x)] = 0
+            if limit is not None:
+                r = np.minimum(r, limit)
+            return pd.Series(r)
+
+        return df.withColumn(out, _rank(F.col(self.col).cast("double")))
 
 
 def fit_rank(df: DataFrame, col: str, *, limit: int | None = None,
@@ -307,14 +303,20 @@ def fit_rank(df: DataFrame, col: str, *, limit: int | None = None,
     """Reference golden semantics (RankTest.java): rank(probe) = number of
     fitted *instances* strictly below probe ([2,1,3,1] -> [2,0,3,0]);
     ignore_duplicates counts distinct values instead ([2,1,1,1,1,3,1,4]:
-    probe 3 -> 2); limit caps the rank (withLimit(3): probe 4 -> 3)."""
+    probe 3 -> 2); limit caps the rank (withLimit(3): probe 4 -> 3) AND
+    caps the fitted state: boundaries whose below >= limit can never
+    change a capped rank, so they are dropped (Rank.java:21-22's limited
+    list) — fitted size is min(|distinct|, limit) with a limit set."""
+    from dagli_spark.operators.twophase import global_running_sum
+
     counts = df.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("cnt"))
     if ignore_duplicates:
         counts = counts.withColumn("cnt", F.lit(1))
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
-    cum = counts.withColumn("below", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    cum = global_running_sum(counts, [F.col("value").asc()], "cnt", "below")
     if limit is not None:
-        cum = cum.withColumn("below", F.least(F.col("below"), F.lit(limit)))
+        # state cap: every kept row has below < limit (its uncapped value),
+        # every dropped row's rank saturates to `limit` via the prefix total
+        cum = cum.where(F.col("below") < F.lit(limit))
     return RankModel(col, cum.select("value", "below", "cnt"), limit=limit)
 
 
@@ -336,17 +338,44 @@ class BucketModel:
         return df.withColumn(out, expr)
 
 
-def fit_bucket_index(df: DataFrame, col: str, k: int) -> BucketModel:
+def fit_bucket_index(df: DataFrame, col: str, k: int, *,
+                     max_bins: int = 4096) -> BucketModel:
     """Dagli's BucketIndex fit: choose bucket boundaries over the DISTINCT
     value histogram minimizing the squared deviation from equal fill
     (BucketIndex.java:28-40 does this with DP). The distinct-value histogram
-    is dictionary-sized, so the DP runs on the driver in numpy — the scan
-    itself is one distributed groupBy."""
+    is dictionary-sized for discrete inputs, so the DP runs on the driver in
+    numpy — the scan itself is one distributed groupBy.
+
+    Continuous-input guard: if the approximate distinct count exceeds
+    ~``max_bins`` the values are first quantized into <= max_bins
+    fixed-width bins (bin representative = the bin's max actual value, so
+    boundaries remain real data values and the upper-inclusive clamp
+    semantics are unchanged). Without this a continuous column would
+    collect one driver row per distinct value — an OOM at 100x — and the
+    O(k n^2) DP would be intractable anyway."""
     import numpy as np
 
-    hist = (
-        df.groupBy(F.col(col).alias("v")).count().orderBy("v").collect()
-    )
+    stats = df.agg(
+        F.approx_count_distinct(col).alias("nd"),
+        F.min(F.col(col).cast("double")).alias("mn"),
+        F.max(F.col(col).cast("double")).alias("mx"),
+    ).first()
+    nd, mn, mx = stats["nd"], stats["mn"], stats["mx"]
+    if nd is not None and mn is not None and nd > 0.7 * max_bins and mx > mn:
+        width = (mx - mn) / max_bins
+        b = F.least(
+            F.floor((F.col(col).cast("double") - F.lit(mn)) / F.lit(width)),
+            F.lit(max_bins - 1),
+        )
+        hist = (
+            df.groupBy(b.alias("bin"))
+            .agg(F.max(col).alias("v"), F.count(F.lit(1)).alias("count"))
+            .orderBy("bin").select("v", "count").collect()
+        )
+    else:
+        hist = (
+            df.groupBy(F.col(col).alias("v")).count().orderBy("v").collect()
+        )
     vals = [r["v"] for r in hist]
     cnts = np.array([r["count"] for r in hist], dtype=np.float64)
     n = len(vals)

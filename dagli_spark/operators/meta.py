@@ -239,3 +239,22 @@ def best_model(
         scores[name] = float(score_fn(pred))
     winner = max(sorted(scores), key=lambda n: scores[n])
     return winner, candidates[winner](df), scores
+
+
+def all_transformations_map(
+    df: DataFrame, transformations: dict, *, out: str = "transformations",
+) -> DataFrame:
+    """Attach a ``map<string, value>`` column holding the result of EVERY
+    named transformation for each row — the reference's diagnostic
+    AllTransformationsMap (common/.../meta/AllTransformationsMap.java:40-58:
+    applies a keyed map of prepared transformers to the shared inputs and
+    returns the keyed results). Values are Column expressions (or callables
+    df -> Column); Spark requires a common value type — pass ``cast`` forms
+    or rely on Catalyst's implicit coercion, exactly as the reference
+    requires a common result type R."""
+    entries = []
+    for name in sorted(transformations):
+        v = transformations[name]
+        col = v(df) if callable(v) and not isinstance(v, Column) else v
+        entries.extend([F.lit(name), col])
+    return df.withColumn(out, F.create_map(*entries))

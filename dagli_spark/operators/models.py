@@ -21,32 +21,60 @@ from pyspark.sql.types import DoubleType
 from dagli_spark.functions.rand import random_double
 
 
+def _sq_dists(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """n x k squared L2 distances, chunked so the (chunk, k, dim) diff
+    tensor stays ~32 MB regardless of centroid count. Explicit-diff form
+    (not |x|^2 - 2xC + |c|^2) for numerical faithfulness to the unrolled
+    per-element subtraction the round-1 Catalyst path computed."""
+    n, k, d = X.shape[0], C.shape[0], C.shape[1]
+    out = np.empty((n, k), dtype=np.float64)
+    step = max(1, (1 << 22) // max(1, k * d))
+    for i in range(0, n, step):
+        diff = X[i:i + step, None, :] - C[None, :, :]
+        out[i:i + step] = np.einsum("nkd,nkd->nk", diff, diff)
+    return out
+
+
 @dataclass
 class KMeansModel:
     vec_col: str
     centers: list  # list[list[float]]
 
     def apply(self, df: DataFrame, *, out: str = "cluster") -> DataFrame:
-        """Assign nearest center — pure Catalyst: unrolled squared
-        distances over the array column, argmin via least+when chain."""
-        dists = []
-        for ci, c in enumerate(self.centers):
-            carr = F.array(*[F.lit(float(x)) for x in c])
-            d = F.aggregate(
-                F.zip_with(F.col(self.vec_col), carr,
-                           lambda a, b: (a.cast("double") - b) ** 2),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-            dists.append(d.alias(f"__d{ci}"))
-        tmp = df.select("*", *dists)
-        best = F.lit(0)
-        bestd = F.col("__d0")
-        for ci in range(1, len(self.centers)):
-            cond = F.col(f"__d{ci}") < bestd
-            best = F.when(cond, F.lit(ci)).otherwise(best)
-            bestd = F.when(cond, F.col(f"__d{ci}")).otherwise(bestd)
-        out_df = tmp.withColumn(out, best).withColumn(f"{out}_dist2", bestd)
-        return out_df.drop(*[f"__d{ci}" for ci in range(len(self.centers))])
+        """Assign nearest center (ties -> lower index) via ONE Arrow-batched
+        pandas UDF over a broadcast centroid matrix. The round-1 design
+        inlined every centroid as a literal Catalyst expression + a
+        per-center when-chain — plan size O(k*dim), which chokes Catalyst
+        at real IVF scale (k >= 2^14); the broadcast-matrix UDF keeps the
+        plan O(1) and the numpy distance kernel is vectorized across the
+        batch."""
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                       StructType)
+
+        C = np.asarray(self.centers, dtype=np.float64)
+        bc = df.sparkSession.sparkContext.broadcast(C)
+        schema = StructType([StructField("c", IntegerType()),
+                             StructField("d", DoubleType())])
+
+        @pandas_udf(schema)
+        def _assign(v: pd.Series) -> pd.DataFrame:
+            cm = bc.value
+            if len(v) == 0:
+                return pd.DataFrame({"c": pd.Series([], dtype="int32"),
+                                     "d": pd.Series([], dtype="float64")})
+            X = np.stack(v.to_numpy()).astype(np.float64)
+            D = _sq_dists(X, cm)
+            best = np.argmin(D, axis=1)  # first index wins ties
+            return pd.DataFrame({
+                "c": best.astype("int32"),
+                "d": D[np.arange(len(best)), best],
+            })
+
+        tmp = df.withColumn("__km", _assign(F.col(self.vec_col)))
+        return (tmp.withColumn(out, F.col("__km.c"))
+                .withColumn(f"{out}_dist2", F.col("__km.d"))
+                .drop("__km"))
 
 
 def fit_kmeans(
@@ -118,19 +146,47 @@ class IsotonicModel:
         return df.withColumn(out, interp(F.col(self.score_col).cast("double")))
 
 
-def fit_isotonic(df: DataFrame, score: str, label: str, *, weight=None) -> IsotonicModel:
+def fit_isotonic(df: DataFrame, score: str, label: str, *, weight=None,
+                 max_bins: int = 65536) -> IsotonicModel:
     """Pool-Adjacent-Violators on the (score-sorted) aggregated pairs.
 
     Distributed part: groupBy(score) pre-aggregation (the PAV input is one
-    point per distinct score — dictionary-sized); PAV itself runs on the
-    driver in numpy (IsotonicRegression.java:23 sorts + pools the same way).
-    """
+    point per distinct score — dictionary-sized for discrete scores); PAV
+    itself runs on the driver in numpy (IsotonicRegression.java:23 sorts +
+    pools the same way).
+
+    Continuous-score guard: if the approximate distinct count exceeds
+    ~``max_bins`` the scores are first quantized into <= max_bins
+    fixed-width bins (breakpoint = the bin's weighted-mean score). Without
+    this a continuous score column would collect one driver row per
+    distinct value — the whole table at 100x. PAV on the quantized points
+    is the standard large-scale isotonic approximation (and exact when
+    every bin holds one distinct score)."""
     w = F.col(weight) if weight else F.lit(1.0)
-    pts = (
-        df.groupBy(F.col(score).alias("x"))
-        .agg(F.sum(w * F.col(label)).alias("wy"), F.sum(w).alias("w"))
-        .orderBy("x").collect()
-    )
+    stats = df.agg(
+        F.approx_count_distinct(score).alias("nd"),
+        F.min(F.col(score).cast("double")).alias("mn"),
+        F.max(F.col(score).cast("double")).alias("mx"),
+    ).first()
+    nd, mn, mx = stats["nd"], stats["mn"], stats["mx"]
+    if nd is not None and mn is not None and nd > 0.7 * max_bins and mx > mn:
+        width = (mx - mn) / max_bins
+        b = F.least(
+            F.floor((F.col(score).cast("double") - F.lit(mn)) / F.lit(width)),
+            F.lit(max_bins - 1),
+        )
+        pts = (
+            df.groupBy(b.alias("bin"))
+            .agg((F.sum(w * F.col(score)) / F.sum(w)).alias("x"),
+                 F.sum(w * F.col(label)).alias("wy"), F.sum(w).alias("w"))
+            .orderBy("bin").select("x", "wy", "w").collect()
+        )
+    else:
+        pts = (
+            df.groupBy(F.col(score).alias("x"))
+            .agg(F.sum(w * F.col(label)).alias("wy"), F.sum(w).alias("w"))
+            .orderBy("x").collect()
+        )
     x = np.array([float(r["x"]) for r in pts])
     wsum = np.array([float(r["w"]) for r in pts])
     y = np.array([float(r["wy"]) for r in pts]) / wsum

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -47,9 +47,12 @@ class DensifyModel:
 
 
 def fit_densify(df: DataFrame, vec_col: str) -> DensifyModel:
+    from dagli_spark.operators.twophase import global_row_number
+
     idx = _explode(df, vec_col).select("idx").distinct()
-    w = Window.orderBy("idx")
-    remap = idx.withColumn("new_idx", F.row_number().over(w).cast("long") - 1)
+    # two-phase global rank: a web-scale observed-index set never
+    # serializes through a single-partition sort (operators/twophase.py)
+    remap = global_row_number(idx, [F.col("idx").asc()], "new_idx")
     return DensifyModel(vec_col, remap, remap.count())
 
 
