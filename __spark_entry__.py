@@ -377,14 +377,18 @@ def q_knn_lsh(spark, sf_dir):
 
 
 def q_knn_ivf(spark, sf_dir):
-    """IVF ANN (k-means coarse quantizer + multi-probe): iterative fit ->
-    rows-only check; exhaustive-probe equivalence to brute force is pinned
-    in tests/test_meta_vector_text.py."""
+    """IVF ANN (k-means coarse quantizer + multi-probe). Only the quantizer
+    FIT is non-SQL: the oracle inlines the fitted centers (fitted-literal
+    pattern) and checks assignment + routing + cosine top-k independently;
+    exhaustive-probe equivalence to brute force is additionally pinned in
+    tests/test_meta_vector_text.py."""
     from dagli_spark.operators.similarity import knn_ivf
 
     e = _t(spark, sf_dir, "embeddings")
     probes = e.where(F.col("vec_id") < 10)
-    return knn_ivf(probes, e, k=3, n_centroids=8, n_probe=3)
+    out = knn_ivf(probes, e, k=3, n_centroids=8, n_probe=3)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cosine", 4).alias("cosine"))
 
 
 def q_lang_id(spark, sf_dir):
@@ -858,25 +862,100 @@ def _bucket_oracle() -> str:
 def _kmeans_oracle() -> str:
     from dagli_spark.oracle_literals import KMEANS_CENTERS
 
-    dim = len(KMEANS_CENTERS[0])
-    dists = []
-    for ci, c in enumerate(KMEANS_CENTERS):
+    return f"""
+        WITH d AS (SELECT {", ".join(_dist_exprs(KMEANS_CENTERS))}
+                   FROM embeddings)
+        SELECT {_argmin_case(len(KMEANS_CENTERS))} AS cluster, count(*) AS n
+        FROM d GROUP BY cluster
+    """
+
+
+def _dist_exprs(centers, emb_expr: str = "embedding") -> list[str]:
+    """Squared-L2 distance SQL expressions to each literal center."""
+    dim = len(centers[0])
+    out = []
+    for ci, c in enumerate(centers):
         lit = "[" + ", ".join(repr(x) for x in c) + "]"
-        dists.append(
+        out.append(
             f"list_sum(list_transform(range(1, {dim + 1}), i -> "
-            f"(CAST(embedding[i] AS DOUBLE) - ({lit})[i])"
-            f" * (CAST(embedding[i] AS DOUBLE) - ({lit})[i]))) AS d{ci}"
+            f"(CAST({emb_expr}[i] AS DOUBLE) - ({lit})[i])"
+            f" * (CAST({emb_expr}[i] AS DOUBLE) - ({lit})[i]))) AS d{ci}"
         )
-    k = len(KMEANS_CENTERS)
-    # argmin with ties to the lower index (matches np.argmin)
-    argmin = "CASE " + " ".join(
+    return out
+
+
+def _argmin_case(k: int) -> str:
+    """argmin over d0..d{k-1} with ties to the lower index (np.argmin)."""
+    return "CASE " + " ".join(
         "WHEN " + " AND ".join(f"d{i} <= d{j}" for j in range(i + 1, k))
         + f" THEN {i}" for i in range(k - 1)
     ) + f" ELSE {k - 1} END"
+
+
+def _knn_ivf_oracle() -> str:
+    """Fitted-literal IVF oracle: quantizer centers inlined (only the
+    k-means FIT is non-SQL); corpus assignment, stable top-n_probe probe
+    routing, candidate join, exact cosine and window top-k are all plain
+    SQL."""
+    from dagli_spark.oracle_literals import IVF_CENTERS
+
+    k = len(IVF_CENTERS)
+    structs = ", ".join(
+        f"struct_pack(d := d{i}, c := {i})" for i in range(k))
     return f"""
-        WITH d AS (SELECT {", ".join(dists)} FROM embeddings)
-        SELECT {argmin} AS cluster, count(*) AS n
-        FROM d GROUP BY cluster
+        WITH cd AS (SELECT vec_id, embedding, {", ".join(_dist_exprs(IVF_CENTERS))}
+                    FROM embeddings),
+             a AS (SELECT vec_id, embedding, {_argmin_case(k)} AS c FROM cd),
+             pr AS (SELECT vec_id AS query_id, embedding AS qv,
+                           unnest(list_transform(
+                               (list_sort([{structs}]))[1:3], s -> s.c)) AS c
+                    FROM cd WHERE vec_id < 10),
+             cand AS (SELECT pr.query_id, pr.qv,
+                             a.vec_id AS neighbor_id, a.embedding AS nv
+                      FROM pr JOIN a USING (c)
+                      WHERE a.vec_id <> pr.query_id),
+             scored AS (SELECT query_id, neighbor_id,
+                               list_cosine_similarity(CAST(qv AS DOUBLE[]),
+                                   CAST(nv AS DOUBLE[])) AS cos
+                        FROM cand),
+             ranked AS (SELECT query_id, neighbor_id, cos,
+                               row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id ASC) AS rank
+                        FROM scored)
+        SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+        FROM ranked WHERE rank <= 3
+    """
+
+
+def _lang_id_oracle() -> str:
+    """lang_id is hash-free (stopword-hit argmax over whitespace tokens of
+    the lowered text): fully SQL-expressible. Tie semantics mirror the
+    engine's array_max over struct(hits, lang) — equal hit counts resolve
+    to the lexicographically GREATEST language code."""
+    from dagli_spark.functions.text import _LANG_STOPWORDS
+
+    hits = ", ".join(
+        "(" + " + ".join(
+            f"CAST(list_contains(toks, '{w}') AS INT)" for w in ws
+        ) + f") AS h_{lang}"
+        for lang, ws in _LANG_STOPWORDS.items()
+    )
+    langs_desc = sorted(_LANG_STOPWORDS, reverse=True)
+    best = "greatest(" + ", ".join(f"h_{la}" for la in _LANG_STOPWORDS) + ")"
+    pick = " ".join(
+        f"WHEN h_{la} = {best} THEN '{la}'" for la in langs_desc[:-1]
+    )
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          list_filter(regexp_split_to_array(trim(lower(text)),
+                                      '\\s+'), x -> x <> '') AS toks
+                   FROM documents),
+             h AS (SELECT doc_id, {hits} FROM t)
+        SELECT doc_id,
+               CASE WHEN {best} = 0 THEN 'und'
+                    {pick}
+                    ELSE '{langs_desc[-1]}' END AS lang_guess
+        FROM h
     """
 
 
@@ -1388,12 +1467,15 @@ def oracle_sql() -> dict[str, str]:
         "bucket_index": _bucket_oracle(),
         "kmeans": _kmeans_oracle(),
         "isotonic": _isotonic_oracle(),
-        # minhash_pairs / simhash_pairs / knn_lsh / knn_ivf / lang_id:
-        # xxhash64-family dependent (documented different hash family than
-        # the reference's MurmurHash3) — rows-only; northrule_features is
-        # array-valued over a /tmp fixture (rows-only; its temporal subset
-        # is oracle-checked via northrule_temporal and the pixel stage is
-        # PSNR-pinned in tests).
+        "lang_id": _lang_id_oracle(),
+        "knn_ivf": _knn_ivf_oracle(),
+        # minhash_pairs / simhash_pairs / knn_lsh: xxhash64-family
+        # dependent (documented different hash family than the reference's
+        # MurmurHash3) — rows-only; tokens_locale: rule regex needs
+        # lookahead (absent from DuckDB's RE2) — rows-only with a pytest
+        # Python oracle; northrule_features is array-valued over a /tmp
+        # fixture (rows-only; its temporal subset is oracle-checked via
+        # northrule_temporal and the pixel stage is PSNR-pinned in tests).
     }
 
 

@@ -47,27 +47,48 @@ DECODE_FIELDS = [
 
 
 def _decode_one(data: bytes) -> tuple:
+    """Single-image oracle path — same integer-exact reductions as
+    :func:`_features_batch` (bit-identical by construction)."""
     arr = decode_image(data)
-    f = arr.astype(np.float64)
-    means = f.mean(axis=(0, 1))
-    std = float(f.std())
+    h, w, _ = arr.shape
+    npx = h * w * 3
+    sums = arr.sum(axis=(0, 1), dtype=np.float64)        # exact int sums
+    means = sums / (h * w)
+    mean_all = sums.sum() / npx
+    s2 = np.einsum("hwc,hwc->", arr, arr, dtype=np.float64)  # exact
+    std = float(np.sqrt(max(s2 / npx - mean_all * mean_all, 0.0)))
     bright = float(means.mean())
-    gray = f.mean(axis=2)
-    gx = np.abs(np.diff(gray, axis=1)).mean()
-    gy = np.abs(np.diff(gray, axis=0)).mean()
+    gray3 = arr.sum(axis=2, dtype=np.int16)              # 3x gray, exact
+    gx = float(np.abs(np.diff(gray3, axis=1)).mean(dtype=np.float64) / 3.0)
+    gy = float(np.abs(np.diff(gray3, axis=0)).mean(dtype=np.float64) / 3.0)
     return (
         float(means[0]), float(means[1]), float(means[2]),
-        std, bright, float(gx + gy), phash64(arr),
+        std, bright, gx + gy, phash64(arr),
     )
+
+
+# cap per-stack chunk so float64 transients (the phash gray plane) stay
+# ~cache-sized; the statistics themselves never materialize a float64
+# image copy at all
+_STACK_CHUNK = 1024
 
 
 def _features_batch(datas: "pd.Series") -> list[tuple]:
     """Per-Arrow-batch featurization: decode each payload (zlib is C-speed),
     then group decoded arrays by shape and compute pixel stats + phash as
-    BATCHED numpy over each same-shape stack — one matmul/reduction per
-    shape group instead of one Python round-trip per image. Results are
-    bit-identical to :func:`_decode_one` (same reduction element sets and
-    order); pinned by tests/test_images_northrule.py."""
+    BATCHED numpy over each same-shape stack.
+
+    Bandwidth discipline (this stage is the wall-time leader of the whole
+    benchmark, and at 32 concurrent workers the machine's memory bandwidth
+    — not CPU — is the scaling limit): all statistics are integer-exact
+    reductions computed straight off the uint8 stack with float64
+    ACCUMULATORS (sums, einsum square-sum, int16 gray-plane diffs) — an
+    8x-sized float64 image copy never materializes. Every reduction input
+    is an exact integer below 2^53, so results are bit-identical across
+    batch/chunk splits and parallelism levels (grid test); px_std and
+    edge energy are numpy-allclose to the naive two-pass float formulas
+    (~1e-12 relative), and phash is bit-identical to the fixture's stored
+    hashes. Pinned by tests/test_images_northrule.py."""
     from dagli_spark.images.phash import phash64_stack
 
     n = len(datas)
@@ -81,22 +102,31 @@ def _features_batch(datas: "pd.Series") -> list[tuple]:
         a = decode_image(b)
         arrs[i] = a
         by_shape.setdefault(a.shape, []).append(i)
-    for _shape, idxs in by_shape.items():
-        stack = np.stack([arrs[i] for i in idxs])
-        f = stack.astype(np.float64)
-        means = f.mean(axis=(1, 2))                      # (B, 3)
-        std = f.std(axis=(1, 2, 3))
-        bright = means.mean(axis=1)
-        gray = f.mean(axis=3)
-        gx = np.abs(np.diff(gray, axis=2)).mean(axis=(1, 2))
-        gy = np.abs(np.diff(gray, axis=1)).mean(axis=(1, 2))
-        hashes = phash64_stack(stack)
-        for j, i in enumerate(idxs):
-            out[i] = (
-                float(means[j, 0]), float(means[j, 1]), float(means[j, 2]),
-                float(std[j]), float(bright[j]), float(gx[j] + gy[j]),
-                int(hashes[j]),
-            )
+    for _shape, all_idxs in by_shape.items():
+        for c0 in range(0, len(all_idxs), _STACK_CHUNK):
+            idxs = all_idxs[c0:c0 + _STACK_CHUNK]
+            stack = np.stack([arrs[i] for i in idxs])    # (B, H, W, 3) uint8
+            _b, hh, ww, _ = stack.shape
+            npx = hh * ww * 3
+            sums = stack.sum(axis=(1, 2), dtype=np.float64)   # (B, 3) exact
+            means = sums / (hh * ww)
+            mean_all = sums.sum(axis=1) / npx
+            s2 = np.einsum("bhwc,bhwc->b", stack, stack,
+                           dtype=np.float64)                  # exact
+            std = np.sqrt(np.maximum(s2 / npx - mean_all * mean_all, 0.0))
+            bright = means.mean(axis=1)
+            gray3 = stack.sum(axis=3, dtype=np.int16)         # exact 3x gray
+            gx = (np.abs(np.diff(gray3, axis=2))
+                  .mean(axis=(1, 2), dtype=np.float64) / 3.0)
+            gy = (np.abs(np.diff(gray3, axis=1))
+                  .mean(axis=(1, 2), dtype=np.float64) / 3.0)
+            hashes = phash64_stack(stack, gray3=gray3)
+            for j, i in enumerate(idxs):
+                out[i] = (
+                    float(means[j, 0]), float(means[j, 1]), float(means[j, 2]),
+                    float(std[j]), float(bright[j]), float(gx[j] + gy[j]),
+                    int(hashes[j]),
+                )
     return out
 
 

@@ -61,13 +61,19 @@ def phash_batch(images: list) -> np.ndarray:
     return np.array([phash64(a) for a in images], dtype=np.int64)
 
 
-def phash64_stack(stack: np.ndarray) -> np.ndarray:
+def phash64_stack(stack: np.ndarray, *, gray3: np.ndarray | None = None) -> np.ndarray:
     """Batched phash over a (B, h, w, 3) uint8 stack of SAME-SHAPE images —
     one batched matmul instead of B Python round-trips; bit-identical to
     :func:`phash64` per image (each reduction covers the same elements in
-    the same order)."""
+    the same order). ``gray3`` optionally supplies the precomputed integer
+    channel-sum plane (sum over axis 3): gray = gray3 / 3.0 is bit-identical
+    to astype(float64).mean(axis=3) because the 3-term integer sum is exact
+    in float64 — and skips the 8x float64 image copy (bandwidth, see
+    features/image_features._features_batch)."""
     b, h, w, _ = stack.shape
-    gray = stack.astype(np.float64).mean(axis=3)
+    if gray3 is None:
+        gray3 = stack.sum(axis=3, dtype=np.int16)
+    gray = gray3.astype(np.float64) / 3.0
     if h % 32 == 0 and w % 32 == 0:
         small = gray.reshape(b, 32, h // 32, 32, w // 32).mean(axis=(2, 4))
     else:

@@ -11,7 +11,7 @@ All distributed: confusion cells via groupBy, AUC via a rank-sum
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -72,13 +72,16 @@ def binary_evaluation(
 
     auc = None
     if weight is None:
+        from dagli_spark.operators.twophase import global_running_sum
+
         per_score = df.groupBy(F.col(score).alias("s")).agg(
             F.sum(F.when(t, 1).otherwise(0)).alias("np"),
             F.sum(F.when(~t, 1).otherwise(0)).alias("nn"),
         )
-        w_s = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-        contrib = per_score.withColumn(
-            "neg_below", F.coalesce(F.sum("nn").over(w_s), F.lit(0))
+        # two-phase prefix sum: the distinct-score table never serializes
+        # through a single-partition window (operators/twophase.py)
+        contrib = global_running_sum(
+            per_score, [F.col("s").asc()], "nn", "neg_below"
         ).agg(
             F.sum(F.col("np") * (F.col("neg_below") + F.col("nn") / 2.0))
              .alias("u"),

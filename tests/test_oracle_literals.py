@@ -36,6 +36,10 @@ def test_fitted_literals_current(spark, oracle_sf):
     km = fit_kmeans(e, "embedding", 4, max_iter=5, seed=7, id_col="vec_id")
     assert [[float(x) for x in c] for c in km.centers] == KMEANS_CENTERS
 
+    from dagli_spark.oracle_literals import IVF_CENTERS
+    ivf = fit_kmeans(e, "embedding", 8, max_iter=5, seed=7, id_col="vec_id")
+    assert [[float(x) for x in c] for c in ivf.centers] == IVF_CENTERS
+
     iso_in = e.select(
         F.element_at("embedding", 1).cast("double").alias("s"),
         (F.col("label") == 0).cast("double").alias("y"))
