@@ -695,6 +695,75 @@ def q_northrule(spark, sf_dir):
     return out.select("entity_id", "asof_time", "qseq", "feature_vector")
 
 
+def q_vector_accessors(spark, sf_dir):
+    """MaxNonZeroVectorElementIndex + DenseVectorCapacity over the derived
+    sparse/dense vector columns (SURVEY §2.10 accessors)."""
+    from dagli_spark.functions.vector import dense_capacity, max_nonzero_index
+
+    sp = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.create_map((F.col("event_id") % 97).cast("long"),
+                     F.col("value")).alias("sv"),
+        F.array_repeat(F.col("value"), (F.col("event_id") % 5).cast("int"))
+         .alias("dv"),
+    )
+    return sp.select(
+        "event_id",
+        max_nonzero_index("sv").alias("max_nz"),
+        max_nonzero_index("sv", on_zero=-1).alias("max_nz0"),
+        dense_capacity("dv").alias("capacity"),
+    )
+
+
+def q_dist_vector_bridge(spark, sf_dir):
+    """DenseVectorFromDistribution: distribution -> probability vector over
+    a known label order, exploded to scalar rows (§2.11 bridge)."""
+    ev = _t(spark, sf_dir, "events")
+    dist = F.map_from_arrays(
+        F.array(F.lit("low"), F.lit("high")),
+        F.array(F.col("value") / 200.0, 1.0 - F.col("value") / 200.0),
+    )
+    d = ev.withColumn("dist", dist)
+    vec = D.dense_vector_from_distribution("dist", ["high", "low", "absent"])
+    return d.select(
+        "event_id", F.posexplode(F.transform(vec, lambda p: F.round(p, 6)))
+        .alias("pos", "p"))
+
+
+def q_dist_sample(spark, sf_dir):
+    """SampledWithReplacement: inverse-CDF draw from the per-row
+    distribution {low: v/200, high: 1-v/200} with the portable-hash
+    uniform, so the oracle reproduces every draw exactly (§2.11)."""
+    ev = _t(spark, sf_dir, "events")
+    dist = F.map_from_arrays(
+        F.array(F.lit("low"), F.lit("high")),
+        F.array(F.col("value") / 200.0, 1.0 - F.col("value") / 200.0),
+    )
+    d = ev.withColumn("dist", dist)
+    return d.select(
+        "event_id",
+        D.sampled_with_replacement("dist", F.col("event_id"), seed=5,
+                                   method="lcg").alias("draw"),
+    )
+
+
+def q_ngram_padding(spark, sf_dir):
+    """NgramVector padding semantics (none/single/full sentinel modes,
+    sizes 1..3): the combined n-gram counts pin the reference's padded
+    window arithmetic (NGramVectorTest.java golden counts)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens("text").alias("toks"))
+    return d.select(
+        "doc_id",
+        F.size(T.ngram_vector("toks", min_size=1, max_size=3,
+                              padding="none")).alias("n_none"),
+        F.size(T.ngram_vector("toks", min_size=1, max_size=3,
+                              padding="single")).alias("n_single"),
+        F.size(T.ngram_vector("toks", min_size=1, max_size=3,
+                              padding="full")).alias("n_full"),
+    )
+
+
 def q_ranking_eval(spark, sf_dir):
     """RankingEvaluationResult: full ranking-evaluation struct (correct /
     incorrect / no-prediction counts, accuracy, MRR@3) where the ranked
@@ -832,6 +901,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_temporal": q_northrule_temporal,
         "tokens_locale": q_tokens_locale,
         "ranking_eval": q_ranking_eval,
+        "dist_sample": q_dist_sample,
+        "ngram_padding": q_ngram_padding,
+        "vector_accessors": q_vector_accessors,
+        "dist_vector_bridge": q_dist_vector_bridge,
     }
 
 
@@ -1440,6 +1513,66 @@ def oracle_sql() -> dict[str, str]:
                 WHERE f.user_id = q.user_id AND f.ts < q.asof_time
                 ORDER BY f.ts DESC, f.event_id DESC LIMIT 1
             ) m ON TRUE
+        """,
+        "ngram_padding": """
+            -- count_n(L, pad p) = max(L + 2p - n + 1, 0), summed n=1..3;
+            -- none: p=0; single: p=min(1, n-1); full: p=n-1
+            WITH t AS (SELECT doc_id,
+                              len(list_filter(regexp_split_to_array(trim(text),
+                                  '\\s+'), x -> x <> '')) AS L
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(greatest(L, 0) + greatest(L - 1, 0)
+                        + greatest(L - 2, 0) AS INT) AS n_none,
+                   CAST(greatest(L, 0) + greatest(L + 1, 0)
+                        + greatest(L + 2 - 2, 0) AS INT) AS n_single,
+                   CAST(greatest(L, 0) + greatest(L + 1, 0)
+                        + greatest(L + 2, 0) AS INT) AS n_full
+            FROM t
+        """,
+        "dist_sample": """
+            -- engine semantics: entries sorted by (prob desc, label asc),
+            -- cumulative inverse-CDF, u = knuth-lcg(event_id, seed=5);
+            -- for the 2-label dist the sorted-first entry is 'high' when
+            -- p_high >= p_low (label 'high' < 'low' breaks exact ties)
+            WITH p AS (SELECT event_id,
+                              value / 200.0 AS p_low,
+                              1.0 - value / 200.0 AS p_high,
+                              CAST((event_id * 2654435761 + 5) % 4294967296
+                                   AS DOUBLE) / 4294967296.0 AS u
+                       FROM events),
+                 s AS (SELECT event_id, u,
+                              CASE WHEN p_high >= p_low THEN 'high'
+                                   ELSE 'low' END AS first_label,
+                              CASE WHEN p_high >= p_low THEN 'low'
+                                   ELSE 'high' END AS second_label,
+                              CASE WHEN p_high >= p_low THEN p_high
+                                   ELSE p_low END AS p1,
+                              CASE WHEN p_high >= p_low THEN p_low
+                                   ELSE p_high END AS p2
+                       FROM p)
+            SELECT event_id,
+                   CASE WHEN p1 >= u * (p1 + p2) THEN first_label
+                        ELSE second_label END AS draw
+            FROM s
+        """,
+        "vector_accessors": """
+            -- sv = map{event_id % 97 -> value}: max nonzero key is the
+            -- single key when value != 0, else NULL / the on_zero default
+            SELECT event_id,
+                   CASE WHEN value <> 0 THEN event_id % 97 END AS max_nz,
+                   CASE WHEN value <> 0 THEN event_id % 97
+                        ELSE -1 END AS max_nz0,
+                   event_id % 5 AS capacity
+            FROM events
+        """,
+        "dist_vector_bridge": """
+            -- dense vector over labels [high, low, absent], exploded
+            SELECT event_id, pos,
+                   round(CASE pos WHEN 0 THEN 1.0 - value / 200.0
+                                  WHEN 1 THEN value / 200.0
+                                  ELSE 0.0 END, 6) AS p
+            FROM events, (SELECT unnest([0, 1, 2]) AS pos)
         """,
         "ranking_eval": """
             WITH x AS (SELECT vec_id, label,

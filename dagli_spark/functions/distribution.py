@@ -84,13 +84,20 @@ def dense_vector_from_distribution(col, labels: list) -> Column:
     ])
 
 
-def sampled_with_replacement(col, key, *, seed: int = 0) -> Column:
+def sampled_with_replacement(col, key, *, seed: int = 0,
+                             method: str = "xxhash64") -> Column:
     """Seeded sampling from a per-row distribution
     (common/.../transformer/SampledWithReplacement.java:27, AliasSampler).
     Inverse-CDF over the deterministically sorted entries with a
     hash-derived uniform — same (key, seed) -> same draw at any
-    parallelism (quasi-determinism contract §1.4)."""
-    u = random_double(key, seed)
+    parallelism (quasi-determinism contract §1.4). ``method='lcg'`` uses
+    the portable Knuth-hash uniform (SQL-reproducible, for oracles)."""
+    if method == "lcg":
+        from dagli_spark.functions.rand import random_double_lcg
+
+        u = random_double_lcg(key, seed)
+    else:
+        u = random_double(key, seed)
     entries = _entries_desc(col)
     cum = F.transform(
         entries,

@@ -28,6 +28,16 @@ def random_long(key: Column | str, seed: int = 0) -> Column:
     return F.xxhash64(F.lit(seed), key)
 
 
+def random_double_lcg(key: Column | str, seed: int = 0) -> Column:
+    """Portable U[0,1) from a Knuth multiplicative hash of an integer key —
+    weaker than xxhash64 but expressible in ANSI SQL, so DuckDB oracles can
+    reproduce draws exactly (same pattern as sources.readers'
+    stratified_sample 'lcg' method)."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = (k.cast("long") * F.lit(2654435761) + F.lit(seed)) % F.lit(2 ** 32)
+    return h.cast("double") / F.lit(float(2 ** 32))
+
+
 def sample_segment(key: Column | str, lo: float, hi: float, seed: int = 0) -> Column:
     """Deterministic [lo, hi) segment sampling predicate — the reference's
     SampleReader/SampleSegment (objectio-core/.../SampleReader.java:8-11)."""

@@ -35,6 +35,9 @@ GRID = [
     "exact_dedup", "minhash_pairs", "simhash_pairs", "knn_lsh",
     "knn_bruteforce", "lang_id", "word_ngrams", "indices",
     "stratified_sample", "top_by_value", "densify",
+    # round-2 additions
+    "northrule_temporal", "tokens_locale", "ranking_eval", "knn_ivf",
+    "rank_limited", "bucket_index",
 ]
 
 

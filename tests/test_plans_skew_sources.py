@@ -169,3 +169,17 @@ def test_scan_columns_parses_nested_types(spark):
     cols = scan_columns(
         spark.read.parquet("/tmp/nested_scan_probe").select("v", "bytes"))
     assert any("bytes" in c and "v" in c for c in cols), cols
+
+
+def test_rank_apply_plan_is_single_arrow_udf(spark, sf_dir):
+    """Round-2 Rank.apply: broadcast boundary arrays + np.searchsorted in
+    ONE Arrow UDF — the plan must contain no join at all (the round-1
+    fallback was a broadcast nested-loop join + regroup)."""
+    from dagli_spark.operators.fit import fit_rank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = fit_rank(ev, "value").apply(ev, out="r")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "Join" not in plan and "join" not in plan
+    assert "Exchange" not in plan  # apply adds zero shuffles to the probes
