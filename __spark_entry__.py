@@ -1575,6 +1575,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events, (SELECT unnest([0, 1, 2]) AS pos)
         """,
         "ranking_eval": """
+            -- pos = 1 + #(strictly greater components): matches the
+            -- engine's (value desc, index asc) struct sort whenever the
+            -- first-10 components hold no exact duplicates (true of the
+            -- continuous testdata embeddings; same convention as the
+            -- topk_eval oracle)
             WITH x AS (SELECT vec_id, label,
                               list_transform(embedding[1:10],
                                              e -> CAST(e AS DOUBLE)) AS c,

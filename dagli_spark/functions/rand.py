@@ -34,7 +34,11 @@ def random_double_lcg(key: Column | str, seed: int = 0) -> Column:
     reproduce draws exactly (same pattern as sources.readers'
     stratified_sample 'lcg' method)."""
     k = F.col(key) if isinstance(key, str) else key
-    h = (k.cast("long") * F.lit(2654435761) + F.lit(seed)) % F.lit(2 ** 32)
+    # pmod, not %: Spark's % is sign-preserving, so a negative key would
+    # yield u < 0 and inverse-CDF consumers would degenerate to always
+    # picking the first entry (readers.stratified_sample uses pmod too)
+    h = F.pmod(k.cast("long") * F.lit(2654435761) + F.lit(seed),
+               F.lit(2 ** 32))
     return h.cast("double") / F.lit(float(2 ** 32))
 
 

@@ -272,30 +272,59 @@ class RankModel:
     cumulative: DataFrame  # value, below (= #instances strictly below), cnt
     limit: int | None = None
 
+    def _arrays(self):
+        """Sorted boundary arrays, collected ONCE per model (apply may be
+        called on many frames — re-collecting per call would re-run the
+        fit's sort job every time). Dtype-preserving: integer populations
+        stay int64 (exact beyond 2^53), strings stay objects (numpy object
+        searchsorted uses Python comparisons == Spark's UTF-8 order),
+        floats go float64."""
+        cached = getattr(self, "_state", None)
+        if cached is None:
+            state = (self.cumulative.select("value", "cnt")
+                     .orderBy("value").collect())
+            raw = [r["value"] for r in state]
+            if all(isinstance(v, int) for v in raw):
+                values = np.array(raw, dtype=np.int64)
+            elif any(isinstance(v, str) for v in raw):
+                values = np.array(raw, dtype=object)
+            else:
+                values = np.array([float(v) for v in raw], dtype=np.float64)
+            prefix = np.concatenate(
+                [[0], np.cumsum([int(r["cnt"]) for r in state])]
+            ).astype(np.int64)
+            cached = (values, prefix)
+            self._state = cached
+        return cached
+
     def apply(self, df: DataFrame, *, out: str | None = None) -> DataFrame:
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import LongType
 
         out = out or f"{self.col}_rank"
-        state = self.cumulative.select("value", "cnt").orderBy("value").collect()
-        values = np.array([float(r["value"]) for r in state], dtype=np.float64)
-        prefix = np.concatenate(
-            [[0], np.cumsum([int(r["cnt"]) for r in state])]).astype(np.int64)
+        values, prefix = self._arrays()
         limit = self.limit
         bc = df.sparkSession.sparkContext.broadcast((values, prefix))
 
         @pandas_udf(LongType())
         def _rank(s: pd.Series) -> pd.Series:
             v, p = bc.value
-            x = s.astype("float64").to_numpy()
-            # NaN sorts past every boundary; null probes keep rank 0
+            null_mask = s.isna().to_numpy()
+            if v.dtype == object:
+                x = s.fillna("").to_numpy(dtype=object)
+            elif v.dtype == np.int64 and s.dtype.kind in "iu":
+                x = s.fillna(0).to_numpy(dtype=np.int64)
+            else:
+                # float probes against an int population (or any float
+                # side) compare in float64 — numpy promotes v the same way
+                x = s.astype("float64").fillna(0.0).to_numpy()
             r = p[np.searchsorted(v, x, side="left")]
-            r[np.isnan(x)] = 0
+            r[null_mask] = 0  # legacy null-probe rank
             if limit is not None:
                 r = np.minimum(r, limit)
             return pd.Series(r)
 
-        return df.withColumn(out, _rank(F.col(self.col).cast("double")))
+        return df.withColumn(out, _rank(F.col(self.col)))
 
 
 def fit_rank(df: DataFrame, col: str, *, limit: int | None = None,
@@ -318,6 +347,29 @@ def fit_rank(df: DataFrame, col: str, *, limit: int | None = None,
         # every dropped row's rank saturates to `limit` via the prefix total
         cum = cum.where(F.col("below") < F.lit(limit))
     return RankModel(col, cum.select("value", "below", "cnt"), limit=limit)
+
+
+def continuous_bin_expr(df: DataFrame, col: str, max_bins: int):
+    """Shared continuous-input guard for driver-side fits (BucketIndex DP,
+    isotonic PAV): when the approximate distinct count exceeds ~max_bins,
+    return a fixed-width bin Column quantizing ``col`` into <= max_bins
+    bins (clamped at the top edge); return None for the exact path.
+    Bounding the histogram here is what keeps the subsequent driver
+    collect dictionary-sized on continuous columns at 100x scale."""
+    stats = df.agg(
+        F.approx_count_distinct(col).alias("nd"),
+        F.min(F.col(col).cast("double")).alias("mn"),
+        F.max(F.col(col).cast("double")).alias("mx"),
+    ).first()
+    nd, mn, mx = stats["nd"], stats["mn"], stats["mx"]
+    if not (nd is not None and mn is not None
+            and nd > 0.7 * max_bins and mx > mn):
+        return None
+    width = (mx - mn) / max_bins
+    return F.least(
+        F.floor((F.col(col).cast("double") - F.lit(mn)) / F.lit(width)),
+        F.lit(max_bins - 1),
+    )
 
 
 # ---------------------------------------------------------------- BucketIndex (equi-depth DP)
@@ -353,20 +405,8 @@ def fit_bucket_index(df: DataFrame, col: str, k: int, *,
     semantics are unchanged). Without this a continuous column would
     collect one driver row per distinct value — an OOM at 100x — and the
     O(k n^2) DP would be intractable anyway."""
-    import numpy as np
-
-    stats = df.agg(
-        F.approx_count_distinct(col).alias("nd"),
-        F.min(F.col(col).cast("double")).alias("mn"),
-        F.max(F.col(col).cast("double")).alias("mx"),
-    ).first()
-    nd, mn, mx = stats["nd"], stats["mn"], stats["mx"]
-    if nd is not None and mn is not None and nd > 0.7 * max_bins and mx > mn:
-        width = (mx - mn) / max_bins
-        b = F.least(
-            F.floor((F.col(col).cast("double") - F.lit(mn)) / F.lit(width)),
-            F.lit(max_bins - 1),
-        )
+    b = continuous_bin_expr(df, col, max_bins)
+    if b is not None:
         hist = (
             df.groupBy(b.alias("bin"))
             .agg(F.max(col).alias("v"), F.count(F.lit(1)).alias("count"))

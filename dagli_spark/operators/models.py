@@ -35,10 +35,33 @@ def _sq_dists(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
     return out
 
 
+def _stack_vectors(v: "pd.Series", dim: int):
+    """(mask, X): boolean keep-mask for non-null length-``dim`` vectors and
+    their float64 stack (empty (0, dim) when none survive). Null / ragged
+    rows are masked out instead of crashing np.stack."""
+    vals = v.to_numpy()
+    mask = np.array([x is not None and len(x) == dim for x in vals],
+                    dtype=bool)
+    if not mask.any():
+        return mask, np.empty((0, dim), dtype=np.float64)
+    return mask, np.stack(vals[mask]).astype(np.float64)
+
+
 @dataclass
 class KMeansModel:
     vec_col: str
     centers: list  # list[list[float]]
+
+    def matrix_broadcast(self, spark):
+        """The centroid matrix broadcast, created once per model per
+        SparkContext and shared by apply() and IVF probe routing (a 2^16 x
+        64 float64 matrix is ~32 MB of executor memory — don't ship two)."""
+        cache = getattr(self, "_bc", None)
+        sc = spark.sparkContext
+        if cache is None or cache[0] is not sc:
+            bc = sc.broadcast(np.asarray(self.centers, dtype=np.float64))
+            self._bc = cache = (sc, bc)
+        return cache[1]
 
     def apply(self, df: DataFrame, *, out: str = "cluster") -> DataFrame:
         """Assign nearest center (ties -> lower index) via ONE Arrow-batched
@@ -47,29 +70,29 @@ class KMeansModel:
         per-center when-chain — plan size O(k*dim), which chokes Catalyst
         at real IVF scale (k >= 2^14); the broadcast-matrix UDF keeps the
         plan O(1) and the numpy distance kernel is vectorized across the
-        batch."""
+        batch. Null / wrong-dimension vectors get null cluster + distance
+        (one-result-per-row contract, never a stage failure)."""
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import (DoubleType, IntegerType, StructField,
                                        StructType)
 
-        C = np.asarray(self.centers, dtype=np.float64)
-        bc = df.sparkSession.sparkContext.broadcast(C)
+        dim = len(self.centers[0])
+        bc = self.matrix_broadcast(df.sparkSession)
         schema = StructType([StructField("c", IntegerType()),
                              StructField("d", DoubleType())])
 
         @pandas_udf(schema)
         def _assign(v: pd.Series) -> pd.DataFrame:
             cm = bc.value
-            if len(v) == 0:
-                return pd.DataFrame({"c": pd.Series([], dtype="int32"),
-                                     "d": pd.Series([], dtype="float64")})
-            X = np.stack(v.to_numpy()).astype(np.float64)
-            D = _sq_dists(X, cm)
-            best = np.argmin(D, axis=1)  # first index wins ties
-            return pd.DataFrame({
-                "c": best.astype("int32"),
-                "d": D[np.arange(len(best)), best],
-            })
+            mask, X = _stack_vectors(v, dim)
+            c = np.full(len(v), None, dtype=object)
+            d = np.full(len(v), None, dtype=object)
+            if len(X):
+                D = _sq_dists(X, cm)
+                best = np.argmin(D, axis=1)  # first index wins ties
+                c[mask] = best.astype("int32")
+                d[mask] = D[np.arange(len(best)), best]
+            return pd.DataFrame({"c": pd.Series(c), "d": pd.Series(d)})
 
         tmp = df.withColumn("__km", _assign(F.col(self.vec_col)))
         return (tmp.withColumn(out, F.col("__km.c"))
@@ -162,19 +185,11 @@ def fit_isotonic(df: DataFrame, score: str, label: str, *, weight=None,
     distinct value — the whole table at 100x. PAV on the quantized points
     is the standard large-scale isotonic approximation (and exact when
     every bin holds one distinct score)."""
+    from dagli_spark.operators.fit import continuous_bin_expr
+
     w = F.col(weight) if weight else F.lit(1.0)
-    stats = df.agg(
-        F.approx_count_distinct(score).alias("nd"),
-        F.min(F.col(score).cast("double")).alias("mn"),
-        F.max(F.col(score).cast("double")).alias("mx"),
-    ).first()
-    nd, mn, mx = stats["nd"], stats["mn"], stats["mx"]
-    if nd is not None and mn is not None and nd > 0.7 * max_bins and mx > mn:
-        width = (mx - mn) / max_bins
-        b = F.least(
-            F.floor((F.col(score).cast("double") - F.lit(mn)) / F.lit(width)),
-            F.lit(max_bins - 1),
-        )
+    b = continuous_bin_expr(df, score, max_bins)
+    if b is not None:
         pts = (
             df.groupBy(b.alias("bin"))
             .agg((F.sum(w * F.col(score)) / F.sum(w)).alias("x"),

@@ -161,7 +161,8 @@ def knn_ivf(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
 
-    from dagli_spark.operators.models import _sq_dists, fit_kmeans
+    from dagli_spark.operators.models import (_sq_dists, _stack_vectors,
+                                              fit_kmeans)
 
     km = fit_kmeans(corpus, vec_col, n_centroids, max_iter=max_iter,
                     seed=seed, id_col=id_col)
@@ -170,21 +171,26 @@ def knn_ivf(
         F.col(vec_col).alias("__cv"), "__c",
     )
 
-    C = np.asarray(km.centers, dtype=np.float64)
-    bc = probes.sparkSession.sparkContext.broadcast(C)
+    # one shared centroid-matrix broadcast with km.apply (not a second copy)
+    bc = km.matrix_broadcast(probes.sparkSession)
     np_lists = min(n_probe, len(km.centers))
+    dim = len(km.centers[0])
 
     @pandas_udf(ArrayType(IntegerType()))
     def _route(v: pd.Series) -> pd.Series:
         cm = bc.value
-        if len(v) == 0:
-            return pd.Series([], dtype="object")
-        X = np.stack(v.to_numpy()).astype(np.float64)
-        D = _sq_dists(X, cm)
-        # stable argsort == the old array_sort over (dist, centroid) structs:
-        # ties break toward the lower centroid id
-        idx = np.argsort(D, axis=1, kind="stable")[:, :np_lists]
-        return pd.Series(list(idx.astype("int32")))
+        mask, X = _stack_vectors(v, dim)
+        out = np.full(len(v), None, dtype=object)
+        if len(X):
+            D = _sq_dists(X, cm)
+            # stable argsort == the old array_sort over (dist, centroid)
+            # structs: ties break toward the lower centroid id
+            idx = np.argsort(D, axis=1, kind="stable")[:, :np_lists]
+            # per-slot assignment: a vectorized out[mask] = list-of-arrays
+            # re-stacks to 2-D and numpy rejects it
+            for i, row in zip(np.nonzero(mask)[0], idx.astype("int32")):
+                out[i] = row
+        return pd.Series(out)
 
     routed = probes.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),

@@ -82,8 +82,11 @@ def global_running_sum(
                     F.coalesce(F.sum("__tp_c").over(wo), F.lit(0)))
         .select(_PID, "__tp_off")
     )
+    # no cast: the output keeps sum(value_col)'s type (long for integer
+    # inputs, double for doubles — a long cast would silently truncate a
+    # future weighted/fractional caller)
     return (
         local.join(F.broadcast(offsets), _PID)
-        .withColumn(out, (F.col("__tp_off") + F.col("__tp_ls")).cast("long"))
+        .withColumn(out, F.col("__tp_off") + F.col("__tp_ls"))
         .drop(_PID, "__tp_ls", "__tp_off")
     )

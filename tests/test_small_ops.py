@@ -82,3 +82,55 @@ def test_all_transformations_map(spark):
     ).orderBy("v").collect()
     assert out[0]["m"] == {"sq": 4.0, "neg": -2.0, "plus1": 3.0}
     assert out[1]["m"]["sq"] == 9.0
+
+
+def test_kmeans_apply_null_and_ragged_vectors(spark):
+    """Null / wrong-dimension vectors yield null cluster+distance instead
+    of crashing the Arrow stage (round-2 review fix)."""
+    from dagli_spark.operators.models import KMeansModel
+
+    m = KMeansModel("vec", [[0.0, 0.0], [10.0, 10.0]])
+    df = spark.createDataFrame(
+        [([0.5, 0.5],), (None,), ([1.0],), ([9.0, 9.0],)],
+        "vec array<float>")
+    rows = m.apply(df, out="c").collect()
+    got = [(r["c"], r["c_dist2"] is not None) for r in rows]
+    assert got[0] == (0, True) and got[3] == (1, True)
+    assert got[1] == (None, False) and got[2] == (None, False)
+
+
+def test_rank_string_population(spark):
+    """Rank over a string column (reference Rank accepts any Comparable;
+    the searchsorted apply must not force float64)."""
+    from dagli_spark.operators.fit import fit_rank
+
+    pop = spark.createDataFrame(
+        [("b",), ("a",), ("c",), ("a",)], "v string")
+    m = fit_rank(pop, "v")
+    probe = spark.createDataFrame(
+        [("a",), ("b",), ("bb",), ("z",), (None,)], "v string")
+    got = [r["r"] for r in m.apply(probe, out="r").collect()]
+    assert got == [0, 2, 3, 4, 0]
+
+
+def test_rank_big_long_population_exact(spark):
+    """int64 values beyond 2^53 must not collapse in a float64 cast."""
+    from dagli_spark.operators.fit import fit_rank
+
+    base = 1 << 60
+    pop = spark.createDataFrame(
+        [(base,), (base + 1,), (base + 2,)], "v long")
+    m = fit_rank(pop, "v")
+    probe = spark.createDataFrame([(base + 1,), (base + 2,)], "v long")
+    got = [r["r"] for r in m.apply(probe, out="r").collect()]
+    assert got == [1, 2]
+
+
+def test_lcg_uniform_nonnegative_for_negative_keys(spark):
+    from dagli_spark.functions.rand import random_double_lcg
+    from pyspark.sql import functions as F2
+
+    df = spark.range(-500, 500).select(random_double_lcg(F2.col("id"), 3)
+                                       .alias("u"))
+    mn, mx = df.agg(F2.min("u"), F2.max("u")).first()
+    assert 0.0 <= mn and mx < 1.0
