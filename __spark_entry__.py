@@ -747,6 +747,63 @@ def q_dist_sample(spark, sf_dir):
     )
 
 
+def q_text_normalize(spark, sf_dir):
+    """Accentless (Latin translate fast path) + NormalizedUnicode (NFC,
+    Arrow UDF) + ReplacedSubstrings + ContainsPhoneNumber over documents
+    (§2.9 scalar text family)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.accentless(F.col("text")).alias("latin_folded"),
+        F.length(T.normalized_unicode("text", "NFC")).alias("nfc_len"),
+        T.replaced_substrings(
+            F.col("text"), {"the": "THE", "and": "AND"}).alias("subst"),
+        T.contains_phone("text").alias("has_phone"),
+    )
+
+
+def q_many_hot(spark, sf_dir):
+    """ManyHotVector: indices array -> {idx: 1.0} sparse map, exploded to
+    scalar rows (§2.10)."""
+    from dagli_spark.functions.vector import many_hot
+
+    ev = _t(spark, sf_dir, "events")
+    idxs = F.array_distinct(F.array(
+        (F.col("event_id") % 7).cast("long"),
+        (F.col("event_id") % 11).cast("long")))
+    return ev.select(
+        "event_id", F.explode(many_hot(idxs)).alias("idx", "hot"))
+
+
+def q_grouped_multiplicity(spark, sf_dir):
+    """PreparedByGroup(Multiplicity): count of this row's value-bucket
+    within its event_type group (known group + unseen value -> 0 is pinned
+    by the golden test; here every value is seen)."""
+    from dagli_spark.operators.meta import fit_multiplicity_by_group
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "vb", F.floor(F.col("value") / 50).cast("int"))
+    m = fit_multiplicity_by_group(ev, "event_type", "vb")
+    return m.apply(ev, out="gm").select("event_id", "gm")
+
+
+def q_null_filtered_normalized(spark, sf_dir):
+    """NullFiltered(NormalizedDouble): fit min/max on non-null rows only;
+    apply nulls out rows whose input is null (one result per row)."""
+    from dagli_spark.operators.fit import fit_normalized, null_filtered_fit
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v_opt",
+        F.when(F.col("event_id") % 10 != 0, F.col("value")))
+    m = null_filtered_fit(ev, ["v_opt"],
+                          lambda clean: fit_normalized(clean, "v_opt"))
+    out = m.apply(ev, out="vn")
+    return out.select(
+        "event_id",
+        F.when(F.col("v_opt").isNotNull(),
+               F.round("vn", 6)).alias("vn"))
+
+
 def q_ngram_padding(spark, sf_dir):
     """NgramVector padding semantics (none/single/full sentinel modes,
     sizes 1..3): the combined n-gram counts pin the reference's padded
@@ -903,6 +960,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_eval": q_ranking_eval,
         "dist_sample": q_dist_sample,
         "ngram_padding": q_ngram_padding,
+        "text_normalize": q_text_normalize,
+        "many_hot": q_many_hot,
+        "grouped_multiplicity": q_grouped_multiplicity,
+        "null_filtered_normalized": q_null_filtered_normalized,
         "vector_accessors": q_vector_accessors,
         "dist_vector_bridge": q_dist_vector_bridge,
     }
@@ -997,6 +1058,24 @@ def _knn_ivf_oracle() -> str:
                         FROM scored)
         SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
         FROM ranked WHERE rank <= 3
+    """
+
+
+def _text_normalize_oracle() -> str:
+    """Accentless via the same translate tables; NFC via DuckDB's
+    nfc_normalize; ReplacedSubstrings in the engine's sorted-key order;
+    phone regex shared verbatim (constructs valid in both Java regex and
+    RE2)."""
+    from dagli_spark.functions.text import _ACCENT_DST, _ACCENT_SRC, PHONE_RE
+
+    return f"""
+        SELECT doc_id,
+               translate(text, '{_ACCENT_SRC}', '{_ACCENT_DST}')
+                 AS latin_folded,
+               length(nfc_normalize(text)) AS nfc_len,
+               replace(replace(text, 'and', 'AND'), 'the', 'THE') AS subst,
+               regexp_matches(text, '{PHONE_RE}') AS has_phone
+        FROM documents
     """
 
 
@@ -1513,6 +1592,30 @@ def oracle_sql() -> dict[str, str]:
                 WHERE f.user_id = q.user_id AND f.ts < q.asof_time
                 ORDER BY f.ts DESC, f.event_id DESC LIMIT 1
             ) m ON TRUE
+        """,
+        "text_normalize": _text_normalize_oracle(),
+        "many_hot": """
+            SELECT event_id,
+                   unnest(list_distinct([event_id % 7, event_id % 11]))
+                     AS idx,
+                   CAST(1.0 AS DOUBLE) AS hot
+            FROM events
+        """,
+        "grouped_multiplicity": """
+            SELECT event_id,
+                   count(*) OVER (PARTITION BY event_type,
+                       CAST(floor(value / 50) AS INT)) AS gm
+            FROM events
+        """,
+        "null_filtered_normalized": """
+            WITH e AS (SELECT event_id,
+                              CASE WHEN event_id % 10 <> 0 THEN value END AS v
+                       FROM events),
+                 s AS (SELECT min(v) AS mn, max(v) AS mx FROM e)
+            SELECT event_id,
+                   CASE WHEN v IS NOT NULL
+                        THEN round((v - mn) / (mx - mn), 6) END AS vn
+            FROM e, s
         """,
         "ngram_padding": """
             -- count_n(L, pad p) = max(L + 2p - n + 1, 0), summed n=1..3;

@@ -42,6 +42,8 @@ GRID = [
     # test_oracle_literals) which is exactly the scope this grid runs at.
     "northrule_temporal", "tokens_locale", "ranking_eval", "knn_ivf",
     "rank_limited", "bucket_index",
+    "text_normalize", "many_hot", "grouped_multiplicity",
+    "null_filtered_normalized", "dist_sample", "ngram_padding",
 ]
 
 
