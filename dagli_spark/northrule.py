@@ -67,7 +67,11 @@ def event_features(events: DataFrame, images: DataFrame,
         dim = image_stats(events, images)
     else:
         dim = images.select("image_id", "phash")  # narrow -> prunable
-    ev = events.join(dim, "image_id")
+    # LEFT join: an event whose image is missing/late must NOT silently
+    # vanish — dropping it would shift every downstream lag/session/count
+    # feature for its neighbors; unresolved rows just get null phash/pixel
+    # stats (hamming_prev already coalesces null -> -1)
+    ev = events.join(dim, "image_id", "left")
     w = wf.spec("entity_id", ["event_time", "eseq"])
     out = wf.with_lag(ev, "label", 1, w, alias="label_lag1")
     out = out.withColumn("phash_prev", F.lag("phash").over(w))
@@ -128,7 +132,11 @@ def attach_pixel_features(asof_out: DataFrame, images: DataFrame) -> DataFrame:
     never crosses a shuffle attached to the fact table."""
     matched = asof_out.withColumnRenamed("ev_image_id", "image_id")
     needed = matched.select("image_id").where(F.col("image_id").isNotNull()).distinct()
-    to_decode = needed.join(images.select("image_id", "bytes", "phash"), "image_id")
+    # broadcast the id set explicitly (like image_stats): `needed` comes
+    # from a complex subtree Catalyst cannot size, and a sort-merge plan
+    # here would shuffle the fat bytes column
+    to_decode = F.broadcast(needed).join(
+        images.select("image_id", "bytes", "phash"), "image_id")
     stats = with_decode_features(to_decode, "bytes").drop("bytes")
     return matched.join(F.broadcast(stats), "image_id", "left")
 
@@ -191,6 +199,9 @@ def build_features(
     if with_pixels:
         # the as-of output feeds two consumers (distinct-image id set and
         # the final stats join) — persist so the union+LOCF sort runs once.
+        # The cache lives until session end / storage eviction; a long-lived
+        # service calling this repeatedly should spark.catalog.clearCache()
+        # between jobs (bench.py does).
         out = out.persist()
         out = attach_pixel_features(out, images)
     else:

@@ -55,6 +55,34 @@ def _normalize_on(on) -> list[str]:
     return [on] if isinstance(on, str) else list(on)
 
 
+def _default_values(events, keys, right_time, values):
+    if values is None:
+        return [c for c in events.columns if c not in keys and c != right_time]
+    return values
+
+
+def _check_clash(values, queries):
+    clash = set(values) & set(queries.columns)
+    if clash:
+        raise ValueError(
+            f"value columns {sorted(clash)} collide with query columns; "
+            "rename one side before the as-of join"
+        )
+
+
+def _event_state(right_time, values, tiebreak):
+    """(state struct, tie column) — ONE definition shared by the union
+    path (_sides) and the bucketed pass-1 aggregate, so the
+    ``coalesce(state, carry)`` in pass 3 can never see two drifted struct
+    layouts."""
+    state = F.struct(
+        F.col(right_time).alias(MATCHED_TIME),
+        *[F.col(v).alias(v) for v in values],
+    )
+    tie = F.col(tiebreak) if tiebreak else F.lit(0)
+    return state, tie
+
+
 def _and_all(conds: list[Column]) -> Column:
     out = conds[0]
     for c in conds[1:]:
@@ -95,11 +123,15 @@ def asof_join(
         supply one for fully pinned semantics on duplicate timestamps).
     keep_matched_time: also emit the matched event time column
         (``__asof_matched_time``) — used by the leakage auditor.
-    time_buckets / bucket_width: enable the 3-pass hot-entity path, see
-        module docstring. ``bucket_width`` is a Column in the time
-        column's NATIVE units after normalization: epoch MICROSECONDS for
-        timestamp columns (e.g. ``F.lit(86_400 * 1_000_000)`` for 1 day),
-        plain numeric delta for numeric time columns.
+    time_buckets / bucket_width: any truthy ``time_buckets`` enables the
+        3-pass hot-entity path (see module docstring); the actual bucket
+        COUNT is determined by the data's time range divided by
+        ``bucket_width``, not by this value — pick the width so the
+        hottest entity's per-bucket rows fit a partition.
+        ``bucket_width`` is a Column in the time column's NATIVE units
+        after normalization: epoch MICROSECONDS for timestamp columns
+        (e.g. ``F.lit(86_400 * 1_000_000)`` for 1 day), plain numeric
+        delta for numeric time columns.
     """
     keys = _normalize_on(on)
     if time_buckets and bucket_width is None:
@@ -107,14 +139,8 @@ def asof_join(
             "time_buckets requires bucket_width — silently falling back to "
             "the single-partition-per-entity path would defeat the "
             "requested hot-entity mitigation")
-    if values is None:
-        values = [c for c in events.columns if c not in keys and c != right_time]
-    clash = set(values) & set(queries.columns)
-    if clash:
-        raise ValueError(
-            f"value columns {sorted(clash)} collide with query columns; "
-            "rename one side before the as-of join"
-        )
+    values = _default_values(events, keys, right_time, values)
+    _check_clash(values, queries)
     if time_buckets and bucket_width is not None:
         return _asof_join_bucketed(
             queries, events, keys, left_time, right_time, values,
@@ -138,11 +164,7 @@ def _sides(queries, events, keys, left_time, right_time, values, tiebreak):
     ``last(..., ignorenulls=True)`` scan) plus the sort columns; query rows
     carry their full payload plus nulls for the struct.
     """
-    state = F.struct(
-        F.col(right_time).alias(MATCHED_TIME),
-        *[F.col(v).alias(v) for v in values],
-    )
-    tie = F.col(tiebreak) if tiebreak else F.lit(0)
+    state, tie = _event_state(right_time, values, tiebreak)
     ev = events.select(
         *[F.col(k) for k in keys],
         F.col(right_time).alias(_TIME),
@@ -213,11 +235,7 @@ def _asof_join_bucketed(
     qr = bucketize(queries, left_time)
 
     # Pass 1: final event state per (entity, bucket) — max_by over tiny groups.
-    tie = F.col(tiebreak) if tiebreak else F.lit(0)
-    state = F.struct(
-        F.col(right_time).alias(MATCHED_TIME),
-        *[F.col(v).alias(v) for v in values],
-    )
+    state, tie = _event_state(right_time, values, tiebreak)
     order = F.struct(F.col(right_time), tie)
     bucket_last = ev.groupBy(*keys, _B).agg(
         F.max_by(state, order).alias(_STATE)
@@ -234,8 +252,19 @@ def _asof_join_bucketed(
     buckets = (
         ev.select(*keys, _B).unionByName(qr.select(*keys, _B)).distinct()
     )
+    # null-safe equality here too: distinct() groups null keys, and the
+    # window below treats them as one partition — an equi-join would strand
+    # their bucket states
+    bl = bucket_last.select(
+        *[F.col(k).alias(f"__bl_{i}") for i, k in enumerate(keys + [_B])],
+        _STATE,
+    )
+    bl_cond = _and_all([
+        F.col(k).eqNullSafe(F.col(f"__bl_{i}"))
+        for i, k in enumerate(keys + [_B])
+    ])
     carry = (
-        buckets.join(bucket_last, keys + [_B], "left")
+        buckets.join(bl, bl_cond, "left")
         .withColumn("__carry", F.last(_STATE, ignorenulls=True).over(w))
         .select(*keys, _B, "__carry")
     )
@@ -246,11 +275,24 @@ def _asof_join_bucketed(
     ev_side, qr_side = _sides(qr, ev, keys + [_B], left_time, right_time, values, tiebreak)
     merged = ev_side.unionByName(qr_side, allowMissingColumns=True)
     scanned = _locf_scan(merged, keys + [_B], strict)
+    # null-SAFE key equality: the window paths group null entity keys (and
+    # null-time buckets) together, so the carry join must match them too —
+    # a plain equi-join would silently drop carry-in for null keys and make
+    # the bucketed path diverge from the single-pass path
+    carry_cols = keys + [_B]
+    c = carry.select(
+        *[F.col(k).alias(f"__c_{i}") for i, k in enumerate(carry_cols)],
+        "__carry",
+    )
+    cond = _and_all([
+        F.col(k).eqNullSafe(F.col(f"__c_{i}"))
+        for i, k in enumerate(carry_cols)
+    ])
     scanned = (
         scanned.where(F.col(_SIDE) == 1)
-        .join(carry, keys + [_B], "left")
+        .join(c, cond, "left")
         .withColumn(_STATE, F.coalesce(F.col(_STATE), F.col("__carry")))
-        .drop("__carry")
+        .drop("__carry", *[f"__c_{i}" for i in range(len(carry_cols))])
     )
     return _finish(scanned, out_cols, values, left_time, tolerance, keep_matched_time)
 
@@ -266,33 +308,53 @@ def asof_join_broadcast(
     strict: bool = False,
     tiebreak: str | None = None,
 ) -> DataFrame:
-    """As-of join for a SMALL event side: broadcast range join + max_by.
+    """As-of join for a SMALL event side: packed-history broadcast join.
 
-    No shuffle of the (large) query side at all — the event side is
-    broadcast, the range predicate filters candidate events per query row,
-    and ``max_by`` picks the latest. Use when events fit the broadcast
-    threshold (dimension-style histories).
+    Truly zero shuffle of the (large) query side: each entity's event
+    history is pre-aggregated into ONE time-sorted array (on the small
+    side), broadcast-hash-joined onto the queries (broadcast joins
+    preserve the stream side's partitioning — no exchange), and the match
+    is picked per row with a pure array scan (filter + last element).
+    The round-1 design exploded candidates with a broadcast range join and
+    regrouped by the query payload — that regroup was itself a full
+    query-side shuffle, crashed on map-typed payload columns, and
+    float-normalized -0.0/NaN payloads through the grouping.
+
+    Use when events fit the broadcast threshold (dimension-style
+    histories). ``tiebreak`` breaks equal-time events (max wins), exactly
+    like :func:`asof_join`.
     """
     keys = _normalize_on(on)
-    if values is None:
-        values = [c for c in events.columns if c not in keys and c != right_time]
-    rid = "__asof_qid"
-    q = queries.withColumn(rid, F.monotonically_increasing_id())
-    cmp = F.col(f"__ev.{right_time}") < q[left_time] if strict else (
-        F.col(f"__ev.{right_time}") <= q[left_time]
+    values = _default_values(events, keys, right_time, values)
+    _check_clash(values, queries)
+    state, tie = _event_state(right_time, values, tiebreak)
+    entry = F.struct(
+        F.col(right_time).alias("__t"), tie.alias("__tb"),
+        state.alias(_STATE),
     )
-    # Range predicate INSIDE the left-join condition: queries whose events
-    # are all too late still survive (with null features).
-    cond = [q[k] == F.col(f"__ev.{k}") for k in keys] + [cmp]
-    ev = F.broadcast(events.alias("__ev"))
-    joined = q.join(ev, _and_all(cond), "left")
-    tie = F.col(f"__ev.{tiebreak}") if tiebreak else F.lit(0)
-    order = F.struct(F.col(f"__ev.{right_time}"), tie)
-    state = F.struct(*[F.col(f"__ev.{v}").alias(v) for v in values])
-    agg = joined.groupBy(rid, *[q[c] for c in queries.columns]).agg(
-        F.max_by(state, order).alias(_STATE)
-    )
+
+    def order_cmp(left, right):
+        # compare on (__t, __tb) ONLY — the state payload never enters the
+        # comparison, so unorderable value types (maps) are fine
+        lt = ((left["__t"] < right["__t"])
+              | ((left["__t"] == right["__t"]) & (left["__tb"] < right["__tb"])))
+        eq = (left["__t"].eqNullSafe(right["__t"])
+              & left["__tb"].eqNullSafe(right["__tb"]))
+        return F.when(lt, F.lit(-1)).when(eq, F.lit(0)).otherwise(F.lit(1))
+
+    packed = events.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(entry), order_cmp).alias("__hist"))
+    j = queries.join(F.broadcast(packed), keys, "left")
+
+    # 1-arg lambda closing over the query time (a 2-arg callable would be
+    # sniffed as (element, index) — the CLAUDE.md F.filter arity trap)
+    lt_col = F.col(left_time)
+    if strict:
+        vis = F.filter(F.col("__hist"), lambda e: e["__t"] < lt_col)
+    else:
+        vis = F.filter(F.col("__hist"), lambda e: e["__t"] <= lt_col)
+    match = F.when(F.size(vis) > 0, F.element_at(vis, F.size(vis)))
     sel = [F.col(c) for c in queries.columns] + [
-        F.col(_STATE)[v].alias(v) for v in values
+        match[_STATE][v].alias(v) for v in values
     ]
-    return agg.select(*sel)
+    return j.select(*sel)

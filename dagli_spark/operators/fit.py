@@ -457,10 +457,22 @@ def kfold_column(df: DataFrame, group_col: str, k: int, *, seed: int = 0,
     if method == "xxhash64":
         h = F.xxhash64(F.col(group_col), F.lit(seed))
     elif method == "lcg":
+        dt = dict(df.dtypes).get(group_col, "")
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"method='lcg' requires an integer group column, got "
+                f"{group_col}: {dt} — use method='xxhash64' (strings hash "
+                "natively; a silent cast would null the fold and drop rows "
+                "from every cross-trained split)")
         h = (F.col(group_col).cast("long") * F.lit(2654435761)) % F.lit(2**32)
     else:
         raise ValueError(method)
-    return df.withColumn(out, F.pmod(h, F.lit(k)).cast("int"))
+    # null group keys: xxhash64 hashes the null marker deterministically;
+    # pin fold 0 for both methods so no row ever carries a null fold
+    # (a null fold would silently vanish from BOTH sides of a
+    # fold==i / fold!=i cross-training split)
+    return df.withColumn(
+        out, F.coalesce(F.pmod(h, F.lit(k)).cast("int"), F.lit(0)))
 
 
 # ---------------------------------------------------------------- NullFiltered

@@ -44,7 +44,11 @@ class GroupedModel:
     state: DataFrame  # group_col + one column per fitted statistic
 
     def apply(self, df: DataFrame) -> DataFrame:
-        return df.join(F.broadcast(self.state), on=self.group_col, how="left")
+        # no forced broadcast hint: group cardinality is unbounded in
+        # general (a forced hint would OOM on a high-cardinality group
+        # column); AQE still broadcasts automatically whenever the fitted
+        # state is under the threshold
+        return df.join(self.state, on=self.group_col, how="left")
 
 
 def fit_by_group(
@@ -171,7 +175,11 @@ def kfold_target_encode(
         F.col("__oc") + F.lit(smoothing),
     )
     state = others.withColumn(out, enc).drop("__os", "__oc")
-    return routed.join(F.broadcast(state), on=[key_col, fold_col], how="left")
+    # state is |distinct keys| x k rows — typically broadcastable, but
+    # target encoding exists precisely for high-cardinality keys, so let
+    # AQE decide instead of forcing a driver-side collect of 250M rows on
+    # a 50M-key column
+    return routed.join(state, on=[key_col, fold_col], how="left")
 
 
 def kfold_cross_trained(

@@ -51,3 +51,59 @@ def test_null_query_time_yields_no_match(spark):
                     values=["v"])
     rows = {r["qid"]: r["v"] for r in out.collect()}
     assert rows["q1"] is None and rows["q2"] == 100.0
+
+
+def test_broadcast_variant_zero_query_shuffle_and_map_payload(spark):
+    """Round-2 review fixes: the broadcast as-of variant must not shuffle
+    the query side (packed-history broadcast join) and must pass through
+    unorderable (map-typed) query payload columns untouched."""
+    from dagli_spark.plans.inspect import count_exchanges
+    from dagli_spark.operators.asof import asof_join_broadcast
+
+    q = spark.createDataFrame(
+        [(1, 10.0, {"a": 1}), (1, 5.0, {"b": 2}), (2, 7.0, None)],
+        "k long, asof_time double, payload map<string,int>")
+    e = spark.createDataFrame(
+        [(1, 4.0, 100.0), (1, 9.0, 200.0)], "k long, t double, v double")
+    out = asof_join_broadcast(q, e, on="k", left_time="asof_time",
+                              right_time="t", values=["v"])
+    # inspect BEFORE executing: AQE's post-execution formatted plan repeats
+    # the tree (final + initial) and would double-count the one exchange
+    assert count_exchanges(out) <= 1, count_exchanges(out)
+    rows = sorted((r["k"], r["asof_time"], r["v"],
+                   dict(r["payload"]) if r["payload"] else None)
+                  for r in out.collect())
+    assert rows == [(1, 5.0, 100.0, {"b": 2}), (1, 10.0, 200.0, {"a": 1}),
+                    (2, 7.0, None, None)]
+
+
+def test_broadcast_variant_collision_check(spark):
+    import pytest as _pytest
+    from dagli_spark.operators.asof import asof_join_broadcast
+
+    q = spark.createDataFrame([(1, 10.0, 0.0)], "k long, asof_time double, v double")
+    e = spark.createDataFrame([(1, 4.0, 1.0)], "k long, t double, v double")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join_broadcast(q, e, on="k", left_time="asof_time",
+                            right_time="t", values=["v"])
+
+
+def test_bucketed_path_matches_plain_with_null_keys(spark):
+    """Null entity keys: the bucketed carry join must group them like the
+    window path does (null-safe equality)."""
+    from dagli_spark.operators.asof import asof_join
+    from pyspark.sql import functions as F2
+
+    q = spark.createDataFrame(
+        [(None, 100.0, "qa"), (1, 100.0, "qb")],
+        "k string, asof_time double, qid string")
+    e = spark.createDataFrame(
+        [(None, 1.0, 10.0), (1, 2.0, 20.0)], "k string, t double, v double")
+    plain = asof_join(q, e, on="k", left_time="asof_time", right_time="t",
+                      values=["v"])
+    bucketed = asof_join(q, e, on="k", left_time="asof_time",
+                         right_time="t", values=["v"],
+                         time_buckets=4, bucket_width=F2.lit(10.0))
+    a = sorted((r["qid"], r["v"]) for r in plain.collect())
+    b = sorted((r["qid"], r["v"]) for r in bucketed.collect())
+    assert a == b == [("qa", 10.0), ("qb", 20.0)]
