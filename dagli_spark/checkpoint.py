@@ -32,18 +32,29 @@ def content_key(*parts) -> str:
 
 
 def input_signature(path: str) -> tuple:
-    """(name, size, mtime) of a directory's data files — folded into the
-    checkpoint key so data REWRITTEN at the same path invalidates the
-    checkpoint (a path-only key would resume from stale outputs). On
-    Iceberg this role is played by the snapshot id."""
+    """(relative path, size, mtime_ns) of every data file under ``path``
+    (recursive — partitioned datasets nest like fmt=png/d=1/part-*.parquet
+    and a top-level-only listing would miss leaf rewrites), or of the file
+    itself for a plain-file input. Folded into the checkpoint key so data
+    REWRITTEN at the same path invalidates the checkpoint (a path-only key
+    would resume from stale outputs); nanosecond mtimes avoid the
+    same-second blind spot. On Iceberg this role is played by the snapshot
+    id."""
     if not os.path.isdir(path):
+        if os.path.isfile(path):
+            st = os.stat(path)
+            return (path, st.st_size, st.st_mtime_ns)
         return (path,)
     out = []
-    for fn in sorted(os.listdir(path)):
-        if fn.startswith(("_", ".")):
-            continue
-        st = os.stat(os.path.join(path, fn))
-        out.append((fn, st.st_size, int(st.st_mtime)))
+    for root, dirs, files in os.walk(path):
+        dirs[:] = sorted(d for d in dirs if not d.startswith((".", "_")))
+        for fn in sorted(files):
+            if fn.startswith(("_", ".")):
+                continue
+            full = os.path.join(root, fn)
+            st = os.stat(full)
+            out.append((os.path.relpath(full, path), st.st_size,
+                        st.st_mtime_ns))
     return tuple(out)
 
 

@@ -246,6 +246,10 @@ def generate_events_and_queries(
 
 # --------------------------------------------------------------- caching
 
+# bump when any generator function changes output for the same
+# (seed, scale): the materialize cache key includes it
+GEN_VERSION = 1
+
 SCALES = {
     # images, entities, events, queries — mirroring TESTDATA sf tiers
     "smoke": (1_000, 100, 4_000, 2_000),
@@ -268,7 +272,13 @@ def materialize(spark: SparkSession, scale: str, *, seed: int = 42,
     appropriate path) or pre-generate the fixture once — the driver-local
     ``os.path`` check cannot see a cluster-default filesystem."""
     n_img, n_ent, n_ev, n_q = SCALES[scale]
-    root = os.path.join(base_dir, f"seed{seed}_{scale}")
+    # cache key folds in the tier's row counts and a generator version:
+    # editing SCALES or the generators must never silently reuse stale
+    # parquet (the checkpointer solves the same problem with
+    # content_key + input_signature)
+    root = os.path.join(
+        base_dir,
+        f"seed{seed}_{scale}_{n_img}x{n_ent}x{n_ev}x{n_q}_g{GEN_VERSION}")
     paths = {t: os.path.join(root, t) for t in ("images", "image_events", "queries")}
     if all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths.values()):
         return paths

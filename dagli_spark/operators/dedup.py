@@ -165,9 +165,10 @@ def simhash(df: DataFrame, text_col: str, *, out: str = "simhash",
             F.when(F.col(f"s{i}") > 0, mask).otherwise(F.lit(0).cast("long"))
         )
     hashes = sums.select(F.col(id_col), sim.alias(out))
-    return df.join(hashes, id_col, "left").withColumn(
-        out, F.coalesce(F.col(out), F.lit(0).cast("long"))
-    )
+    # token-less docs keep a NULL simhash: coalescing to 0 would make every
+    # empty document a hamming-0 "duplicate" of any real document whose
+    # bit-sums legitimately come out all non-positive
+    return df.join(hashes, id_col, "left")
 
 
 def hamming64(a, b):
@@ -186,6 +187,9 @@ def simhash_dup_pairs(
     blocks = max_hamming + 1
     width = 64 // blocks
     sh = simhash(df.select(id_col, text_col), text_col, seed=seed, id_col=id_col)
+    # token-less docs carry a NULL simhash (see simhash) — they cannot be
+    # near-duplicates of anything and must not enter the banding
+    sh = sh.where(F.col("simhash").isNotNull())
     keyed = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[

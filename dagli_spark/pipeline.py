@@ -97,25 +97,22 @@ def identity_stage(name: str = "identity") -> Stage:
 
 class Pipeline:
     """Ordered stages; preparables are fitted in sequence on the running
-    output (Dagli phase semantics). Equal stages are interned (CSE)."""
+    output (Dagli phase semantics). Identity no-ops are removed
+    (RemoveIfUnaryReducer)."""
 
     def __init__(self, stages: list):
-        # CSE merges stages that are value-equal INCLUDING their function
-        # (Dagli's @ValueEquality producers compare fields + inputs) — a
-        # key of name+params alone would silently drop a same-named stage
-        # with a different computation.
-        seen: set = set()
-        out = []
-        for s in stages:
-            fns = (s.fn,) if isinstance(s, Stage) else (s.fit_fn, s.apply_fn)
-            k = (type(s).__name__, s.name, s.params, *fns)
-            if k in seen:
-                continue
-            if isinstance(s, Stage) and s.fn is _identity_fn:
-                continue           # no-op removal (RemoveIfUnaryReducer)
-            seen.add(k)
-            out.append(s)
-        self.stages = out
+        # Linear-chain semantics: a stage's input IS its predecessor's
+        # output, so no two occurrences of a stage are ever value-equal in
+        # Dagli's sense (@ValueEquality compares fields + INPUTS,
+        # documentation/dag.md) — a position-blind CSE here would silently
+        # drop a repeated non-idempotent stage (x*2 twice must be x*4).
+        # DAG-level node sharing belongs to a branching representation this
+        # linear Pipeline does not express; only true no-ops are removed.
+        # Already-fitted stages (FittedStage) compose freely with new ones.
+        self.stages = [
+            s for s in stages
+            if not (isinstance(s, Stage) and s.fn is _identity_fn)
+        ]
 
     def fit(self, df: DataFrame) -> "FittedPipeline":
         fitted, metrics = [], []

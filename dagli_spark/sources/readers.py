@@ -84,8 +84,11 @@ def sample_reader(df: DataFrame, key, lo: float, hi: float, *, seed: int = 0) ->
 
 def shuffled_reader(df: DataFrame, key, *, seed: int = 0) -> DataFrame:
     """Full deterministic shuffle (stronger than the reference's partial
-    K-buffer shuffle): order by a seeded hash of the key."""
-    return df.orderBy(shuffle_key(key, seed))
+    K-buffer shuffle): order by a seeded hash of the key, with the key
+    itself as tiebreak — a hash collision (or duplicate key) must not
+    leave relative order to the partition layout."""
+    k = F.col(key) if isinstance(key, str) else key
+    return df.orderBy(shuffle_key(key, seed), k)
 
 
 def stratified_sample(
@@ -107,10 +110,11 @@ def stratified_sample(
         u = (F.pmod(F.xxhash64(k, F.lit(seed)), F.lit(1 << 32))
              / F.lit(float(1 << 32)))
     elif method == "lcg":
-        # pmod, not %: signed modulo of a negative key is negative, which
-        # would make u < frac true for EVERY label (sampling disabled)
-        u = (F.pmod(k.cast("long") * F.lit(2654435761) + F.lit(seed),
-                    F.lit(2**32)) / F.lit(float(2**32)))
+        from dagli_spark.functions.rand import random_double_lcg
+
+        # one definition of the portable uniform (oracle parity depends on
+        # the exact formula — a hand-copied twin would drift)
+        u = random_double_lcg(k, seed)
     else:
         raise ValueError(method)
     frac = None

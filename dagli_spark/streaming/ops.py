@@ -119,9 +119,12 @@ def _locf_fn(
     independently would fold later chunks out of order), the fold is
     vectorized pandas ffill (no per-row Python), and the carried state
     never regresses: a late event older than the carried state updates
-    nothing (its own emitted LOCF uses the carried state — already-emitted
-    newer rows cannot be revised in append mode; the watermark bounds how
-    late such rows can be). Ties at equal event_time keep arrival order
+    nothing. Zero-leakage for late rows: a row OLDER than the carried
+    state must not read that state (it was observed at last_time > the
+    row's own time) — it takes only same-batch observations at or before
+    its own position in the time sort, else null. Already-emitted newer
+    rows cannot be revised in append mode; the watermark bounds how late
+    such rows can be. Ties at equal event_time keep arrival order
     (stable sort) — the streaming feed's file order is the tiebreak."""
     pdf = pd.concat(list(pdfs), ignore_index=True)
     pdf = pdf.sort_values("event_time", kind="stable")
@@ -130,13 +133,21 @@ def _locf_fn(
     else:
         last_time, last_label = None, None
 
-    obs = pdf["label"].notna()
+    obs_all = pdf["label"].notna()
+    obs = obs_all
     if last_time is not None:
-        # drop observations older than the carried state (late data)
-        obs = obs & (pdf["event_time"] >= last_time)
+        # observations older than the carried state never advance non-late
+        # rows (the state is newer) nor the state itself
+        obs = obs_all & (pdf["event_time"] >= last_time)
     locf = pdf["label"].where(obs).ffill()
     if last_label is not None:
         locf = locf.fillna(last_label)
+    if last_time is not None:
+        late = pdf["event_time"] < last_time
+        if late.any():
+            # leak-free value for late rows: in-batch LOCF over ALL
+            # observations (each row sees only obs <= its own time)
+            locf = locf.where(~late, pdf["label"].where(obs_all).ffill())
     out = pd.DataFrame({
         "entity_id": key[0],
         "event_time": pdf["event_time"].values,

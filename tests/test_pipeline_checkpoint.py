@@ -31,11 +31,12 @@ def test_pipeline_fit_apply_and_cse(spark, sf_dir):
         fit_fn=lambda df: fit_index(df, "event_type"),
         apply_fn=lambda m, df: m.apply(df, out="type_id"),
     )
-    # CSE merges value-equal stages: same name, params, AND function —
-    # re-adding the same stage object is interned away; a different lambda
-    # (even if textually identical) is NOT assumed equal
+    # Every occurrence runs: in a linear chain the second `filt`'s input
+    # is the index stage's output, so it is NOT value-equal to the first
+    # (Dagli @ValueEquality compares fields + inputs) — the round-1 CSE
+    # dropped it, silently breaking non-idempotent repeats
     p = Pipeline([filt, index, filt])
-    assert len(p.stages) == 2
+    assert len(p.stages) == 3
 
     fp, out = p.fit_transform(ev)
     assert "type_id" in out.columns
@@ -147,9 +148,22 @@ def test_pipeline_cse_keeps_distinct_same_named_stages(spark, sf_dir):
     s1 = Stage("scale", lambda df: df.withColumn("x", F2.col("x") * 2))
     s2 = Stage("scale", lambda df: df.withColumn("x", F2.col("x") + 1))
     p = Pipeline([s1, identity_stage(), s2, s1])
-    assert len(p.stages) == 2          # identity removed, duplicate s1 merged
+    assert len(p.stages) == 3          # identity removed, EVERY repeat runs
     df = spark.createDataFrame([(3,)], "x int")
-    assert p.fit_transform(df)[1].first()["x"] == 7   # (3*2)+1
+    assert p.fit_transform(df)[1].first()["x"] == 14   # ((3*2)+1)*2
+
+
+def test_pipeline_composes_fitted_stage(spark):
+    """A FittedStage from a loaded model composes with fresh stages
+    (round-2 review fix: construction used to crash on non-Stage types)."""
+    from pyspark.sql import functions as F2
+
+    from dagli_spark.pipeline import FittedStage, Pipeline, Stage
+
+    fitted = FittedStage("add_k", lambda st, df: df.withColumn("x", F2.col("x") + st), 10)
+    p = Pipeline([fitted, Stage("double", lambda df: df.withColumn("x", F2.col("x") * 2))])
+    df = spark.createDataFrame([(1,)], "x int")
+    assert p.fit_transform(df)[1].first()["x"] == 22   # (1+10)*2
 
 
 def test_checkpoint_invalidated_when_input_rewritten(spark, tmp_path):

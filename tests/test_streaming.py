@@ -167,3 +167,52 @@ def test_streaming_locf_late_data_does_not_regress_state(spark, tmp_path):
     got = {str(r["event_time"]): r["label_locf"]
            for r in spark.read.parquet(out_dir).collect()}
     assert got["2026-01-01 11:00:00"] == 5.0  # NOT regressed to 3.0
+
+
+def test_locf_late_row_never_reads_future_state():
+    """Zero-leakage for late rows (round-2 review fix): a row older than
+    the carried state must not be stamped with that state's label
+    (observed at a LATER time); it may only take same-batch observations
+    at or before its own time."""
+    import pandas as pd
+
+    from dagli_spark.streaming.ops import _locf_fn
+
+    class _State:
+        def __init__(self, value):
+            self._v = value
+        @property
+        def exists(self):
+            return self._v is not None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = v
+
+    t = pd.Timestamp
+    state = _State((t("2026-01-01 10:00"), 5.0))
+    batch = pd.DataFrame({
+        "entity_id": ["e"] * 4,
+        "event_time": [t("2026-01-01 08:00"), t("2026-01-01 09:00"),
+                       t("2026-01-01 11:00"), t("2026-01-01 12:00")],
+        "label": [7.0, None, None, 9.0],
+    })
+    [out] = list(_locf_fn(("e",), iter([batch]), state))
+    got = dict(zip(out["event_time"], out["label_locf"]))
+    # late null row (09:00) takes the same-batch 08:00 obs, NOT state 5.0
+    assert got[t("2026-01-01 09:00")] == 7.0
+    # non-late null row (11:00) takes the carried state (observed 10:00)
+    assert got[t("2026-01-01 11:00")] == 5.0
+    assert got[t("2026-01-01 12:00")] == 9.0
+    # state advanced to the newest observation
+    assert state.get == (t("2026-01-01 12:00"), 9.0)
+    # and with no same-batch obs, a late row is null (never the state)
+    state2 = _State((t("2026-01-01 10:00"), 5.0))
+    batch2 = pd.DataFrame({
+        "entity_id": ["e"],
+        "event_time": [t("2026-01-01 09:30")],
+        "label": [None],
+    })
+    [out2] = list(_locf_fn(("e",), iter([batch2]), state2))
+    assert out2["label_locf"][0] is None
