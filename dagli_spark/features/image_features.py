@@ -48,8 +48,12 @@ DECODE_FIELDS = [
 
 def _decode_one(data: bytes) -> tuple:
     """Single-image oracle path — same integer-exact reductions as
-    :func:`_features_batch` (bit-identical by construction)."""
-    arr = decode_image(data)
+    :func:`_features_batch` (bit-identical by construction); corrupt
+    payloads degrade to an all-null row like the batch path."""
+    try:
+        arr = decode_image(data)
+    except Exception:
+        return (None,) * len(DECODE_FIELDS)
     h, w, _ = arr.shape
     npx = h * w * 3
     sums = arr.sum(axis=(0, 1), dtype=np.float64)        # exact int sums
@@ -99,7 +103,14 @@ def _features_batch(datas: "pd.Series") -> list[tuple]:
         if b is None:
             out[i] = (None,) * len(DECODE_FIELDS)
             continue
-        a = decode_image(b)
+        try:
+            a = decode_image(b)
+        except Exception:
+            # corrupt/truncated payload: emit an all-null feature row —
+            # one bad image must never fail the whole Spark stage (same
+            # contract as the audio/video featurizers, features/multimodal)
+            out[i] = (None,) * len(DECODE_FIELDS)
+            continue
         arrs[i] = a
         by_shape.setdefault(a.shape, []).append(i)
     for _shape, all_idxs in by_shape.items():

@@ -120,10 +120,13 @@ def kth_largest(items, cum_counts, k) -> Column:
 
 
 def order_percentile(items, cum_counts, p) -> Column:
-    """Element at percentile p of the weighted multiset
-    (index = max(1, ceil(p * total)); p=0 -> smallest)."""
+    """Element at percentile p of the weighted multiset — index =
+    max(1, round(p * total)) with round-half-up, matching the reference's
+    Math.round (common/.../object/OrderStatistic.java:235; a ceil here
+    would pick the next element for any fractional product below .5)."""
     cc = _c(cum_counts)
     total = F.try_element_at(cc, F.lit(-1))  # empty multiset -> null
     pp = _c(p) if not isinstance(p, (int, float)) else F.lit(float(p))
-    k = F.greatest(F.lit(1).cast("long"), F.ceil(pp * total))
+    k = F.greatest(F.lit(1).cast("long"),
+                   F.floor(pp * total + F.lit(0.5)).cast("long"))
     return kth_smallest(items, cc, k)

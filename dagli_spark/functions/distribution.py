@@ -29,8 +29,10 @@ def _entries_desc(col) -> Column:
 
 
 def most_likely_label(col) -> Column:
-    """argmax label (common/.../distribution/MostLikelyLabelFromDistribution.java:12-19)."""
-    return _entries_desc(col)[0]["label"]
+    """argmax label (common/.../distribution/MostLikelyLabelFromDistribution.java:12-19).
+    try_element_at: an empty distribution yields null instead of an
+    INVALID_ARRAY_INDEX error in ANSI-on sessions."""
+    return F.try_element_at(_entries_desc(col), F.lit(1))["label"]
 
 
 def most_likely_labels(col, k: int) -> Column:

@@ -41,16 +41,21 @@ def contains_substring(col, sub: str) -> Column:
 
 def substring_count(col, sub: str) -> Column:
     """text/.../SubstringCount.java:15 — non-overlapping occurrence count."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = _c(col)
     return ((F.length(c) - F.length(F.replace(c, F.lit(sub), F.lit("")))) /
             F.length(F.lit(sub))).cast("int")
 
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
-# 7+ digit runs with optional separators/parens/leading + (crude but JVM-side;
-# the reference wraps libphonenumber — text-phone/.../ContainsPhoneNumber.java)
-PHONE_RE = r"\+?\(?\d{1,4}\)?([-. ]?\d{2,4}){2,4}"
+# Phone shapes: optional +country, optional (area), then a 3-digit group,
+# a 4-digit group and an optional extension — minimum 7 digits total, so
+# ISO dates (2026-08-17) and short number runs no longer fire. Constructs
+# shared by Java regex (Spark) and RE2 (DuckDB oracle — no lookarounds).
+# Still an approximation: the reference wraps libphonenumber
+# (text-phone/.../ContainsPhoneNumber.java).
+PHONE_RE = (r"(\+\d{1,3}[-. ]?)?(\(\d{2,4}\)[-. ]?)?"
+            r"\d{3}[-. ]?\d{4}([-. ]?\d{2,4})?")
 
 
 def contains_email(col) -> Column:
@@ -72,7 +77,7 @@ def accentless(col) -> Column:
     """Strip diacritics for the Latin-1/Latin-Extended range, JVM-side
     (text/.../Accentless.java:22 does full ICU folding; full-Unicode parity
     lives in normalized_unicode's NFD path)."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = _c(col)
     return F.translate(c, _ACCENT_SRC, _ACCENT_DST)
 
 
@@ -97,7 +102,7 @@ def accent_folded(col) -> Column:
                         if not unicodedata.combining(ch)))
         return s.map(fold)
 
-    return _fold(F.col(col) if isinstance(col, str) else col)
+    return _fold(_c(col))
 
 
 def normalized_unicode(col, form: str = "NFC") -> Column:
@@ -111,7 +116,7 @@ def normalized_unicode(col, form: str = "NFC") -> Column:
     def _norm(s):
         return s.map(lambda x: unicodedata.normalize(form, x) if x is not None else None)
 
-    return _norm(F.col(col) if isinstance(col, str) else col)
+    return _norm(_c(col))
 
 
 def replaced_substrings(col, replacements: dict[str, str]) -> Column:
@@ -119,7 +124,7 @@ def replaced_substrings(col, replacements: dict[str, str]) -> Column:
     the reference uses an Aho-Corasick-style search — chained JVM `replace`
     is equivalent for non-overlapping target sets, applied in deterministic
     sorted order)."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = _c(col)
     for k in sorted(replacements):
         c = F.replace(c, F.lit(k), F.lit(replacements[k]))
     return c
@@ -130,7 +135,7 @@ def tokens(col) -> Column:
     (Crude fallback for the reference's JFlex locale-aware Tokens,
     text-tokenization/.../Tokens.java:14-40 — locale-aware variants belong
     in an Arrow UDF with per-executor tokenizer cache.)"""
-    c = F.col(col) if isinstance(col, str) else col
+    c = _c(col)
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
 
@@ -217,7 +222,7 @@ def tokens_locale(col, locale: str = "en") -> Column:
         for s in batches:
             yield s.map(lambda x: pat.findall(x) if x is not None else None)
 
-    return _tok(F.col(col) if isinstance(col, str) else col)
+    return _tok(_c(col))
 
 
 # GPT-2-style pretokenizer approximation, restricted to constructs shared
@@ -230,7 +235,7 @@ def tokens_bpe(col) -> Column:
     """BPE-ish pretokenization (the token-counting proxy a training-data
     pipeline budgets with — splits punctuation and digit runs from words,
     keeps contraction suffixes), array<string>."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = _c(col)
     return F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0)
 
 
@@ -240,10 +245,11 @@ def token_count_bpe(col) -> Column:
 
 def word_ngrams(col, n: int) -> Column:
     """array of space-joined word n-grams (common/.../list/NgramVector.java:10-16).
-    Pure Catalyst: slide a transform over the token array."""
+    Pure Catalyst: slide a transform over the token array. Null text ->
+    null (like :func:`tokens`), short text -> empty array."""
     toks = tokens(col)
     idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.when(
+    return F.when(toks.isNull(), F.lit(None).cast("array<string>")).when(
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
     ).otherwise(F.array().cast("array<string>"))
@@ -291,7 +297,8 @@ def ngram_vector(tokens_col, *, min_size: int = 1, max_size: int = 1,
     out = parts[0]
     for pt in parts[1:]:
         out = F.concat(out, pt)
-    return out
+    # null token array -> null output (tokens(null) convention), not []
+    return F.when(toks.isNotNull(), out)
 
 
 def ngram_hashes(col, n: int, *, seed: int = 0) -> Column:
@@ -303,10 +310,11 @@ def ngram_hashes(col, n: int, *, seed: int = 0) -> Column:
 
 
 def char_ngrams(col, n: int) -> Column:
-    """Character n-grams (text/.../CharacterNgramVector.java:22)."""
-    c = F.col(col) if isinstance(col, str) else col
+    """Character n-grams (text/.../CharacterNgramVector.java:22).
+    Null text -> null; short text -> empty array."""
+    c = _c(col)
     idx = F.sequence(F.lit(1), F.length(c) - n + 1)
-    return F.when(
+    return F.when(c.isNull(), F.lit(None).cast("array<string>")).when(
         F.length(c) >= n, F.transform(idx, lambda i: F.substring(c, i, n))
     ).otherwise(F.array().cast("array<string>"))
 
@@ -327,7 +335,7 @@ def lang_id_heuristic(col) -> Column:
     """Pick the language whose stopwords hit the most tokens; 'und'
     (undetermined) when nothing hits. Pure Catalyst (array_intersect over
     the token array)."""
-    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    toks = tokens(F.lower(_c(col)))
     scores = F.array(*[
         F.struct(
             F.size(F.array_intersect(
@@ -343,7 +351,7 @@ def lang_id_heuristic(col) -> Column:
 def quality_score(col) -> Column:
     """Heuristic document quality in [0,1]: penalize extreme shortness,
     high punctuation ratio, and high digit ratio. Deterministic, JVM-side."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = _c(col)
     n = F.length(c).cast("double")
     punct = (n - F.length(F.regexp_replace(c, r"[^\w\s]", ""))).cast("double")
     digits = (n - F.length(F.regexp_replace(c, r"[0-9]", ""))).cast("double")
@@ -356,5 +364,5 @@ def quality_score(col) -> Column:
 def fingerprint(col, *, seed: int = 0) -> Column:
     """64-bit document fingerprint: xxhash64 of the normalized token stream
     (rolling-hash analogue; exact-dedup key)."""
-    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    toks = tokens(F.lower(_c(col)))
     return F.xxhash64(F.lit(seed), F.array_join(toks, " "))

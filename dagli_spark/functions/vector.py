@@ -31,8 +31,14 @@ def vec_scale(a, s) -> Column:
 
 
 def vec_clip(a, lo: float, hi: float) -> Column:
-    """LazyClippedVector (common/.../vector/LazyClippedVector.java:10-14)."""
-    return F.transform(_c(a), lambda x: F.greatest(F.least(x, F.lit(hi)), F.lit(lo)))
+    """LazyClippedVector (common/.../vector/LazyClippedVector.java:10-14).
+    Null elements stay null — Spark's least/greatest SKIP nulls, so the
+    naive form would silently turn a null element into ``hi``."""
+    return F.transform(
+        _c(a),
+        lambda x: F.when(
+            x.isNotNull(), F.greatest(F.least(x, F.lit(hi)), F.lit(lo))),
+    )
 
 
 def vec_concat(a, b) -> Column:
@@ -84,7 +90,11 @@ def nearest_vector(vec, candidates: list[list[float]], *, metric: str = "l2") ->
             F.zip_with(v, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
             F.lit(0.0), lambda acc, x: acc + x)
     elif metric == "cosine":
-        dist_fn = lambda c: F.lit(1.0) - cosine(v, c)  # noqa: E731
+        # null similarity (zero vector, try_divide) must sort LAST, not
+        # first: struct ordering puts null fields before every real value,
+        # so a zero-vector candidate would silently win the argmin
+        dist_fn = lambda c: F.coalesce(  # noqa: E731
+            F.lit(1.0) - cosine(v, c), F.lit(float("inf")))
     else:
         raise ValueError(metric)
     scored = F.transform(
@@ -92,7 +102,11 @@ def nearest_vector(vec, candidates: list[list[float]], *, metric: str = "l2") ->
         lambda c, i: F.struct(dist_fn(c).alias("dist"), i.cast("int").alias("idx")),
     )
     best = F.array_min(scored)  # struct ordering: (dist asc, idx asc)
-    return F.struct(best["idx"].alias("idx"), best["dist"].alias("dist"))
+    # every distance undefined (e.g. zero INPUT vector under cosine):
+    # null result, not an arbitrary winner
+    return F.when(
+        best["dist"] != F.lit(float("inf")),
+        F.struct(best["idx"].alias("idx"), best["dist"].alias("dist")))
 
 
 # ---------------------------------------------------------------- sparse ops
@@ -114,8 +128,10 @@ def dense_capacity(col) -> Column:
 
 def many_hot(indices) -> Column:
     """indices array -> map of 1.0 (ManyHotVector,
-    common/.../vector/ManyHotVector.java:15-20)."""
-    arr = _c(indices)
+    common/.../vector/ManyHotVector.java:15-20). Repeated indices are
+    idempotent like the reference (a raw map_from_arrays would throw
+    DUPLICATED_MAP_KEY under the default dedup policy)."""
+    arr = F.array_distinct(_c(indices))
     return F.map_from_arrays(arr, F.transform(arr, lambda _: F.lit(1.0)))
 
 

@@ -54,7 +54,7 @@ def _paeth(a, b, c):
 
 def decode_png(data: bytes) -> np.ndarray:
     assert data[:8] == _PNG_SIG, "not a PNG"
-    pos, w = 8, 0
+    pos, w, h = 8, 0, None
     idat = []
     while pos < len(data):
         (ln,) = struct.unpack(">I", data[pos:pos + 4])
@@ -73,6 +73,10 @@ def decode_png(data: bytes) -> np.ndarray:
         elif typ == b"IEND":
             break
         pos += 12 + ln
+    if h is None or not idat:
+        # a catchable, meaningful error for truncated/garbled chunk walks
+        # (an unbound h would otherwise surface as an opaque NameError)
+        raise ValueError("corrupt PNG: missing IHDR/IDAT chunk")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     stride = 1 + w * 3
     raw = raw.reshape(h, stride)

@@ -134,3 +134,79 @@ def test_lcg_uniform_nonnegative_for_negative_keys(spark):
                                        .alias("u"))
     mn, mx = df.agg(F2.min("u"), F2.max("u")).first()
     assert 0.0 <= mn and mx < 1.0
+
+
+def test_corrupt_image_degrades_to_null_row(spark):
+    """One bad payload must never fail the stage (multimodal contract)."""
+    from dagli_spark.features.image_features import with_decode_features
+    from dagli_spark.images.codec import encode_png
+    import numpy as np
+
+    good = encode_png(np.zeros((32, 32, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, good), (2, b"\x89PNG\r\n\x1a\nGARBAGE"), (3, b"not an image")],
+        "img_id long, bytes binary")
+    rows = {r["img_id"]: r["px_std"]
+            for r in with_decode_features(df, "bytes").collect()}
+    assert rows[1] is not None and rows[2] is None and rows[3] is None
+
+
+def test_many_hot_duplicate_indices_idempotent(spark):
+    from dagli_spark.functions.vector import many_hot
+
+    df = spark.createDataFrame([(1,)], "x int")
+    out = df.select(many_hot(F.array(
+        F.lit(3).cast("long"), F.lit(3).cast("long"),
+        F.lit(5).cast("long"))).alias("m")).first()
+    assert out["m"] == {3: 1.0, 5: 1.0}
+
+
+def test_nearest_vector_cosine_zero_vectors(spark):
+    from dagli_spark.functions.vector import nearest_vector
+
+    df = spark.createDataFrame([([1.0, 0.0],), ([0.0, 0.0],)],
+                               "v array<double>")
+    nn = nearest_vector(F.col("v"), [[0.0, 0.0], [1.0, 0.0]],
+                        metric="cosine")
+    rows = df.select(nn.alias("nn")).collect()
+    # a zero-vector CANDIDATE must not win on its null similarity
+    assert rows[0]["nn"]["idx"] == 1
+    # a zero-vector INPUT has no defined nearest -> null result
+    assert rows[1]["nn"] is None
+
+
+def test_vec_clip_preserves_null_elements(spark):
+    from dagli_spark.functions.vector import vec_clip
+
+    df = spark.createDataFrame([([None, 5.0, -1.0],)], "v array<double>")
+    out = df.select(vec_clip("v", 0.0, 1.0).alias("c")).first()["c"]
+    assert list(out) == [None, 1.0, 0.0]
+
+
+def test_phone_regex_dates_and_short_runs_not_phones(spark):
+    from dagli_spark.functions.text import contains_phone
+
+    df = spark.createDataFrame(
+        [("released 2026-08-17",), ("see 12345 units",),
+         ("call 123-4567",), ("+1 (555) 123-4567 ext 22",)], "t string")
+    got = [r[0] for r in df.select(contains_phone("t")).collect()]
+    assert got == [False, False, True, True]
+
+
+def test_ngrams_null_text_propagates_null(spark):
+    from dagli_spark.functions.text import char_ngrams, word_ngrams
+
+    df = spark.createDataFrame([(None,), ("a b c",)], "t string")
+    rows = df.select(word_ngrams("t", 2).alias("w"),
+                     char_ngrams("t", 2).alias("c")).collect()
+    assert rows[0]["w"] is None and rows[0]["c"] is None
+    assert list(rows[1]["w"]) == ["a b", "b c"]
+
+
+def test_most_likely_label_empty_distribution_null(spark):
+    from dagli_spark.functions.distribution import most_likely_label
+
+    df = spark.createDataFrame([({},), ({"a": 0.9},)],
+                               "d map<string,double>")
+    got = [r[0] for r in df.select(most_likely_label("d")).collect()]
+    assert got == [None, "a"]
