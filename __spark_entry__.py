@@ -371,9 +371,14 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_knn_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN. The planes are pure splitmix arithmetic (no
+    string hashing), so the oracle replays bucketing + candidate join +
+    cosine top-k with the plane vectors inlined."""
     e = _t(spark, sf_dir, "embeddings")
     probes = e.where(F.col("vec_id") < 10)
-    return knn_lsh(probes, e, dim=64, k=3)
+    out = knn_lsh(probes, e, dim=64, k=3)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cosine", 4).alias("cosine"))
 
 
 def q_knn_ivf(spark, sf_dir):
@@ -1079,6 +1084,50 @@ def _text_normalize_oracle() -> str:
     """
 
 
+def _knn_lsh_oracle() -> str:
+    """knn_lsh is NOT hash-family-bound: its hyperplanes come from the
+    pure splitmix generator (similarity._hyperplanes — plain arithmetic),
+    so bucketing, candidate join and cosine top-k replay exactly in SQL
+    with the plane vectors inlined (q_knn_lsh params: dim=64, k=3,
+    num_planes=6, num_tables=4, seed=13)."""
+    from dagli_spark.operators.similarity import _hyperplanes
+
+    num_planes, num_tables, seed = 6, 4, 13
+    sides = []
+    for t in range(num_tables):
+        planes = _hyperplanes(64, num_planes, seed + 101 * t)
+        bits = []
+        for p_i, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+            dot = (f"list_sum(list_transform(range(1, 65), i -> "
+                   f"CAST(embedding[i] AS DOUBLE) * ({lit})[i]))")
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p_i} ELSE 0 END)")
+        bucket = " + ".join(bits)
+        sides.append(
+            f"SELECT vec_id, embedding, "
+            f"{t} * {1 << num_planes} + ({bucket}) AS tb FROM embeddings")
+    keyed = " UNION ALL ".join(sides)
+    return f"""
+        WITH keyed AS ({keyed}),
+             pk AS (SELECT * FROM keyed WHERE vec_id < 10),
+             cand AS (SELECT DISTINCT pk.vec_id AS query_id,
+                             k2.vec_id AS neighbor_id,
+                             pk.embedding AS qv, k2.embedding AS nv
+                      FROM pk JOIN keyed k2 USING (tb)
+                      WHERE pk.vec_id <> k2.vec_id),
+             scored AS (SELECT query_id, neighbor_id,
+                               list_cosine_similarity(CAST(qv AS DOUBLE[]),
+                                   CAST(nv AS DOUBLE[])) AS cos
+                        FROM cand),
+             ranked AS (SELECT query_id, neighbor_id, cos,
+                               row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id ASC) AS rank
+                        FROM scored)
+        SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+        FROM ranked WHERE rank <= 3
+    """
+
+
 def _lang_id_oracle() -> str:
     """lang_id is hash-free (stopword-hit argmax over whitespace tokens of
     the lowered text): fully SQL-expressible. Tie semantics mirror the
@@ -1710,7 +1759,8 @@ def oracle_sql() -> dict[str, str]:
         "isotonic": _isotonic_oracle(),
         "lang_id": _lang_id_oracle(),
         "knn_ivf": _knn_ivf_oracle(),
-        # minhash_pairs / simhash_pairs / knn_lsh: xxhash64-family
+        "knn_lsh": _knn_lsh_oracle(),
+        # minhash_pairs / simhash_pairs: xxhash64-family
         # dependent (documented different hash family than the reference's
         # MurmurHash3) — rows-only; tokens_locale: rule regex needs
         # lookahead (absent from DuckDB's RE2) — rows-only with a pytest
