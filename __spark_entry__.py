@@ -365,6 +365,19 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5)
 
 
+def q_minhash_portable(spark, sf_dir):
+    """MinHash+LSH near-dup pairs with the PORTABLE polynomial hash family
+    (dedup._poly31 / poly_hash_params): the full pipeline — shingles,
+    16 minhashes, 4-band bucketing, candidate join, exact-Jaccard verify —
+    replays exactly in SQL, giving the dedup family an end-to-end oracle
+    (the production default stays xxhash64 -> rows-only)."""
+    d = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5,
+                            hash_method="poly31")
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 4).alias("jaccard"))
+
+
 def q_simhash_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return simhash_dup_pairs(d, "text", "doc_id", max_hamming=3)
@@ -932,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "centroid_norm": q_centroid_norm,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_portable": q_minhash_portable,
         "simhash_pairs": q_simhash_pairs,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -1081,6 +1095,59 @@ def _text_normalize_oracle() -> str:
                replace(replace(text, 'and', 'AND'), 'the', 'THE') AS subst,
                regexp_matches(text, '{PHONE_RE}') AS has_phone
         FROM documents
+    """
+
+
+def _minhash_portable_oracle() -> str:
+    """End-to-end SQL replay of the portable-hash MinHash+LSH pipeline
+    (q_minhash_portable params: shingle=3, 16 hashes, 4 bands,
+    threshold=0.5): 3-gram shingles, the 31-bit polynomial shingle hash,
+    the splitmix-derived affine minhash family, folded band keys,
+    candidate self-join, and exact-Jaccard verification."""
+    from dagli_spark.operators.dedup import _POLY_M, poly_hash_params
+
+    params = poly_hash_params(16, 7)
+    mh_cols = ", ".join(
+        f"min((hv * {a} + {b}) % {_POLY_M}) AS mh_{i}"
+        for i, (a, b) in enumerate(params))
+    band_keys = []
+    for b in range(4):
+        k = f"CAST({b + 1} AS BIGINT)"
+        for i in range(b * 4, (b + 1) * 4):
+            k = f"(({k}) * 31 + mh_{i} + 1) % {_POLY_M}"
+        band_keys.append(f"SELECT doc_id, {k} AS band_key FROM sig")
+    banded = " UNION ALL ".join(band_keys)
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          list_filter(regexp_split_to_array(trim(text),
+                              '\\s+'), x -> x <> '') AS toks
+                   FROM documents),
+             g AS (SELECT doc_id,
+                          list_distinct(list_transform(range(1, len(toks) - 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS sh
+                   FROM t),
+             e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+             h AS (SELECT doc_id,
+                          list_reduce(list_prepend(CAST(0 AS BIGINT),
+                              list_transform(range(1, length(s) + 1),
+                                  i -> CAST(unicode(s[i]) AS BIGINT))),
+                              (acc, c) -> (acc * 31 + c) % {_POLY_M}) AS hv
+                   FROM e),
+             sig AS (SELECT doc_id, {mh_cols} FROM h GROUP BY doc_id),
+             banded AS ({banded}),
+             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                      FROM banded a JOIN banded b USING (band_key)
+                      WHERE a.doc_id < b.doc_id),
+             v AS (SELECT cand.id_a, cand.id_b,
+                          len(list_intersect(ga.sh, gb.sh))
+                            / CAST(len(list_distinct(
+                                  list_concat(ga.sh, gb.sh))) AS DOUBLE)
+                            AS jaccard
+                   FROM cand
+                   JOIN g ga ON ga.doc_id = cand.id_a
+                   JOIN g gb ON gb.doc_id = cand.id_b)
+        SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+        FROM v WHERE jaccard >= 0.5
     """
 
 
@@ -1760,6 +1827,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "knn_ivf": _knn_ivf_oracle(),
         "knn_lsh": _knn_lsh_oracle(),
+        "minhash_portable": _minhash_portable_oracle(),
         # minhash_pairs / simhash_pairs: xxhash64-family
         # dependent (documented different hash family than the reference's
         # MurmurHash3) — rows-only; tokens_locale: rule regex needs

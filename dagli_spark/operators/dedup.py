@@ -42,9 +42,42 @@ def exact_dedup(
         .drop("__fp1", "__fp2")
 
 
+_POLY_M = 2147483647  # 2^31 - 1: products with 31-bit operands fit a long
+
+
+def _poly31(col):
+    """Portable 31-bit polynomial string hash, h = (h*31 + codepoint) mod
+    (2^31-1) — reproducible in ANSI SQL character-for-character (DuckDB
+    unicode()/list_reduce), unlike xxhash64. Weaker min-wise independence:
+    this is the ORACLE-CHECK hash family; production paths default to
+    xxhash64."""
+    codes = F.transform(F.split(col, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(codes, F.lit(0).cast("long"),
+                       lambda acc, c: F.pmod(acc * 31 + c, F.lit(_POLY_M)))
+
+
+def _splitmix_py(x: int) -> int:
+    mask = (1 << 64) - 1
+    z = (x + 0x9E3779B97F4A7C15) & mask
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+    return z ^ (z >> 31)
+
+
+def poly_hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """(a_i, b_i) pairs for the affine re-hash family mh_i = (h*a_i + b_i)
+    mod (2^31-1), derived from splitmix — shared with the SQL oracle."""
+    return [
+        ((_splitmix_py(seed * 1000 + 2 * i) % (_POLY_M - 2)) + 1,
+         _splitmix_py(seed * 1000 + 2 * i + 1) % _POLY_M)
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signature(
     df: DataFrame, text_col: str, id_col: str, *,
     shingle: int = 3, num_hashes: int = 16, seed: int = 7,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """(id, mh_0..mh_{P-1}) minhash signature of the shingle set.
 
@@ -55,22 +88,37 @@ def minhash_signature(
     (the naive P×transform formulation re-hashes every string P times and
     is the dominant cost). Map-side combine reduces each partition to
     (id, P longs) partials before the shuffle. Docs with zero shingles are
-    dropped (they cannot be near-duplicates of anything)."""
+    dropped (they cannot be near-duplicates of anything).
+
+    ``hash_method='poly31'`` swaps the shingle hash + affine re-hashes to
+    the portable polynomial family (:func:`_poly31`/:func:`poly_hash_params`)
+    so a SQL oracle can replay the whole signature exactly."""
     shingles = F.array_distinct(word_ngrams(text_col, shingle))
-    ex = (
-        df.select(F.col(id_col), F.explode(shingles).alias("__t"))
-        .select(id_col, F.xxhash64(F.lit(seed), F.col("__t")).alias("__h"))
-    )
-    return ex.groupBy(id_col).agg(*[
-        F.min(F.xxhash64(F.lit(seed + 1 + i), F.col("__h"))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ])
+    ex = df.select(F.col(id_col), F.explode(shingles).alias("__t"))
+    if hash_method == "poly31":
+        ex = ex.select(id_col, _poly31(F.col("__t")).alias("__h"))
+        params = poly_hash_params(num_hashes, seed)
+        aggs = [
+            F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b),
+                         F.lit(_POLY_M))).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    elif hash_method == "xxhash64":
+        ex = ex.select(id_col, F.xxhash64(F.lit(seed), F.col("__t")).alias("__h"))
+        aggs = [
+            F.min(F.xxhash64(F.lit(seed + 1 + i), F.col("__h"))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(hash_method)
+    return ex.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str, id_col: str, *,
     shingle: int = 3, num_hashes: int = 16, bands: int = 4,
     threshold: float = 0.7, seed: int = 7,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs by MinHash LSH, verified with exact
     shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b and
@@ -83,12 +131,22 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     shingles = F.array_distinct(word_ngrams(text_col, shingle))
     sig = minhash_signature(df, text_col, id_col, shingle=shingle,
-                            num_hashes=num_hashes, seed=seed)
+                            num_hashes=num_hashes, seed=seed,
+                            hash_method=hash_method)
 
     band_keys = []
     for b in range(bands):
         cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_keys.append(F.xxhash64(F.lit(b), *cols))
+        if hash_method == "poly31":
+            # portable fold of the band's minhashes (SQL-replayable); rare
+            # key collisions only ADD candidates, which the exact-Jaccard
+            # verification then rejects — output is unaffected
+            k = F.lit(b + 1).cast("long")
+            for c in cols:
+                k = F.pmod(k * 31 + c + 1, F.lit(_POLY_M))
+            band_keys.append(k)
+        else:
+            band_keys.append(F.xxhash64(F.lit(b), *cols))
     # one row per (doc, band), ids ONLY — the shingle arrays never ride
     # through the self-join shuffle or the pair dedup (they are joined back
     # exactly once per verified candidate); shuffle = |docs| x bands 8-byte
