@@ -383,6 +383,17 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_dup_pairs(d, "text", "doc_id", max_hamming=3)
 
 
+def q_simhash_portable(spark, sf_dir):
+    """SimHash near-dup pairs with the portable 32-bit polynomial-family
+    hash: token hashing, per-bit signed sums, pigeonhole banding and the
+    Hamming verify all replay in SQL (production default stays the 64-bit
+    xxhash64 variant -> rows-only). max_hamming=1 of 32 bits — comparable
+    selectivity to the 64-bit variant's 3."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_dup_pairs(d, "text", "doc_id", max_hamming=1,
+                             hash_method="poly31")
+
+
 def q_knn_lsh(spark, sf_dir):
     """Hyperplane-LSH ANN. The planes are pure splitmix arithmetic (no
     string hashing), so the oracle replays bucketing + candidate join +
@@ -947,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "minhash_portable": q_minhash_portable,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_portable": q_simhash_portable,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "lang_id": q_lang_id,
@@ -1148,6 +1160,56 @@ def _minhash_portable_oracle() -> str:
                    JOIN g gb ON gb.doc_id = cand.id_b)
         SELECT id_a, id_b, round(jaccard, 4) AS jaccard
         FROM v WHERE jaccard >= 0.5
+    """
+
+
+def _simhash_portable_oracle() -> str:
+    """SQL replay of the portable 32-bit simhash pipeline
+    (q_simhash_portable params: max_hamming=1, seed=11): token polynomial
+    hash + two affine re-hashes -> 32 signed bit-sums per doc -> bit
+    recombine -> 2x16-bit pigeonhole banding -> bit_count Hamming verify."""
+    from dagli_spark.operators.dedup import _POLY_M, poly_hash_params
+
+    (a1, b1), (a2, b2) = poly_hash_params(2, 11)
+    max_hamming = 1
+    blocks, width = max_hamming + 1, 32 // (max_hamming + 1)
+    sums = ", ".join(
+        f"sum(CASE WHEN (h32 >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(32))
+    sim = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(32))
+    banded = " UNION ALL ".join(
+        f"SELECT doc_id, sim, {blk} * {1 << width}"
+        f" + ((sim >> {blk * width}) & {(1 << width) - 1})"
+        f" AS bk FROM sig" for blk in range(blocks))
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          list_filter(regexp_split_to_array(trim(lower(text)),
+                              '\\s+'), x -> x <> '') AS toks
+                   FROM documents),
+             e AS (SELECT doc_id, unnest(toks) AS s FROM t),
+             h AS (SELECT doc_id,
+                          list_reduce(list_prepend(CAST(0 AS BIGINT),
+                              list_transform(range(1, length(s) + 1),
+                                  i -> CAST(unicode(s[i]) AS BIGINT))),
+                              (acc, c) -> (acc * 31 + c) % {_POLY_M}) AS hv
+                   FROM e),
+             hb AS (SELECT doc_id,
+                           ((hv * {a1} + {b1}) % {_POLY_M})
+                             | ((((hv * {a2} + {b2}) % {_POLY_M}) & 1) << 31)
+                             AS h32
+                    FROM h),
+             sums AS (SELECT doc_id, {sums} FROM hb GROUP BY doc_id),
+             sig AS (SELECT doc_id, {sim} AS sim FROM sums),
+             banded AS ({banded}),
+             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                             a.sim AS sim_a, b.sim AS sim_b
+                      FROM banded a JOIN banded b USING (bk)
+                      WHERE a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 1
     """
 
 
@@ -1828,6 +1890,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _knn_ivf_oracle(),
         "knn_lsh": _knn_lsh_oracle(),
         "minhash_portable": _minhash_portable_oracle(),
+        "simhash_portable": _simhash_portable_oracle(),
         # minhash_pairs / simhash_pairs: xxhash64-family
         # dependent (documented different hash family than the reference's
         # MurmurHash3) — rows-only; tokens_locale: rule regex needs

@@ -194,22 +194,41 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, text_col: str, *, out: str = "simhash",
-            seed: int = 11, id_col: str | None = None) -> DataFrame:
-    """64-bit SimHash of the token multiset, pure Catalyst.
+            seed: int = 11, id_col: str | None = None,
+            hash_method: str = "xxhash64") -> DataFrame:
+    """SimHash of the token multiset, pure Catalyst — 64-bit over xxhash64
+    token hashes by default; ``hash_method='poly31'`` builds a 32-bit
+    variant whose token bits come from two splitmix-derived affine
+    re-hashes of the portable polynomial hash (SQL-replayable, see
+    :func:`_poly31`).
 
-    Shape: explode tokens -> hash -> ONE hash-aggregate with 64 signed-sum
-    columns (vectorized JVM agg with map-side combine) -> recombine bits.
-    The naive per-row formulation (64 lambda `aggregate`s over the token
-    array) is ~10x slower in codegen; the explode+groupBy plan also scales:
-    the shuffle carries (id, 64 ints) partial aggregates, not token lists."""
+    Shape: explode tokens -> hash -> ONE hash-aggregate with nbits
+    signed-sum columns (vectorized JVM agg with map-side combine) ->
+    recombine bits. The naive per-row formulation (nbits lambda
+    `aggregate`s over the token array) is ~10x slower in codegen; the
+    explode+groupBy plan also scales: the shuffle carries (id, nbits ints)
+    partial aggregates, not token lists."""
     if id_col is None:
         raise ValueError("simhash requires id_col to group exploded tokens")
     tok = df.select(
         F.col(id_col),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"),
-    ).withColumn("__h", F.xxhash64(F.lit(seed), F.col("__t")))
+    )
+    if hash_method == "poly31":
+        nbits = 32
+        (a1, b1), (a2, b2) = poly_hash_params(2, seed)
+        ph = _poly31(F.col("__t"))
+        h_lo = F.pmod(ph * F.lit(a1) + F.lit(b1), F.lit(_POLY_M))  # bits 0-30
+        h_hi = F.pmod(ph * F.lit(a2) + F.lit(b2), F.lit(_POLY_M))  # bit 31
+        tok = tok.withColumn(
+            "__h", h_lo.bitwiseOR(F.shiftleft(h_hi.bitwiseAND(F.lit(1)), 31)))
+    elif hash_method == "xxhash64":
+        nbits = 64
+        tok = tok.withColumn("__h", F.xxhash64(F.lit(seed), F.col("__t")))
+    else:
+        raise ValueError(hash_method)
     aggs = []
-    for i in range(64):
+    for i in range(nbits):
         mask = F.shiftleft(F.lit(1).cast("long"), i)  # i=63 wraps to sign bit
         aggs.append(
             F.sum(F.when(F.col("__h").bitwiseAND(mask) != 0, 1).otherwise(-1))
@@ -217,7 +236,7 @@ def simhash(df: DataFrame, text_col: str, *, out: str = "simhash",
         )
     sums = tok.groupBy(id_col).agg(*aggs)
     sim = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(nbits):
         mask = F.shiftleft(F.lit(1).cast("long"), i)
         sim = sim.bitwiseOR(
             F.when(F.col(f"s{i}") > 0, mask).otherwise(F.lit(0).cast("long"))
@@ -236,15 +255,17 @@ def hamming64(a, b):
 
 def simhash_dup_pairs(
     df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 3,
-    seed: int = 11,
+    seed: int = 11, hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with simhash Hamming distance <= max_hamming.
     Banding: split the 64-bit hash into (max_hamming+1) 16-bit blocks —
     any pair within distance max_hamming shares at least one exact block
     (pigeonhole), so candidates = per-block equi-join, never a cross join."""
+    nbits = 32 if hash_method == "poly31" else 64
     blocks = max_hamming + 1
-    width = 64 // blocks
-    sh = simhash(df.select(id_col, text_col), text_col, seed=seed, id_col=id_col)
+    width = nbits // blocks
+    sh = simhash(df.select(id_col, text_col), text_col, seed=seed,
+                 id_col=id_col, hash_method=hash_method)
     # token-less docs carry a NULL simhash (see simhash) — they cannot be
     # near-duplicates of anything and must not enter the banding
     sh = sh.where(F.col("simhash").isNotNull())

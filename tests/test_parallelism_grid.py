@@ -44,7 +44,7 @@ GRID = [
     "rank_limited", "bucket_index",
     "text_normalize", "many_hot", "grouped_multiplicity",
     "null_filtered_normalized", "dist_sample", "ngram_padding",
-    "minhash_portable",
+    "minhash_portable", "simhash_portable",
 ]
 
 
