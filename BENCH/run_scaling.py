@@ -76,8 +76,15 @@ def run_level(cores: int, scale: str) -> dict:
     code = _RUNNER.format(repo=REPO, cores=cores, scale=scale)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=2400, check=True,
+        timeout=2400,
     )
+    if out.returncode != 0:
+        # surface the child's actual error — check=True would discard the
+        # captured stderr and leave a multi-hour run undiagnosable
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(
+            f"scaling level local[{cores}] failed (exit {out.returncode}); "
+            "stderr tail above")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

@@ -29,8 +29,11 @@ def count_exchanges(df: DataFrame) -> int:
 
 
 def count_broadcasts(df: DataFrame) -> int:
+    """Broadcast exchanges, counted the same way as count_exchanges (the
+    detail-section headers only — a bare substring count would also match
+    each node's tree line and report double)."""
     plan = formatted_plan(df)
-    return len(re.findall(r"BroadcastExchange", plan))
+    return len(re.findall(r"\n\s*[^(]*\(\d+\) BroadcastExchange\b", plan))
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
@@ -41,7 +44,11 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 def _struct_body(line: str) -> str:
     """The bracket-balanced body of 'struct<...>' (a greedy single-'>' stop
-    truncates at the first nested type like array<float>)."""
+    truncates at the first nested type like array<float>). An UNCLOSED
+    struct means Spark truncated the metadata line
+    (spark.sql.maxMetadataStringLength) — fail loudly rather than return a
+    partial field list: a pruning audit fed a truncated schema could
+    false-pass on the very column it exists to catch."""
     start = line.index("struct<") + len("struct<")
     depth = 1
     for i in range(start, len(line)):
@@ -51,7 +58,10 @@ def _struct_body(line: str) -> str:
             depth -= 1
             if depth == 0:
                 return line[start:i]
-    return line[start:]
+    raise ValueError(
+        "truncated ReadSchema line (ends without closing '>'): raise "
+        "spark.sql.maxMetadataStringLength (session.py sets 10000) — "
+        f"got: {line[:120]}...")
 
 
 def _top_level_fields(body: str) -> list[str]:

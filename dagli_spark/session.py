@@ -66,6 +66,7 @@ def get_spark(
 
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        n = n.split(",")[0]  # local[N,maxFailures] carries a second field
         try:
             cores = int(n) if n != "*" else (os.cpu_count() or 8)
         except ValueError:
@@ -90,6 +91,9 @@ def get_spark(
         # enough tasks to fill all cores on local[N]; a real cluster reading
         # 100 TB has plenty of splits and can keep the 128 MB default.
         "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        # full ReadSchema lines in explain output: the pruning audit
+        # (plans/inspect.scan_columns) refuses truncated schemas
+        "spark.sql.maxMetadataStringLength": "10000",
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.parquet.aggregatePushdown": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

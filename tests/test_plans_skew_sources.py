@@ -183,3 +183,30 @@ def test_rank_apply_plan_is_single_arrow_udf(spark, sf_dir):
     assert "ArrowEvalPython" in plan
     assert "Join" not in plan and "join" not in plan
     assert "Exchange" not in plan  # apply adds zero shuffles to the probes
+
+
+def test_iceberg_fallback_partition_transforms_and_schema(spark, sf_dir):
+    """bucket()/days() transforms materialize on the fallback path and the
+    schema sidecar preserves partition-column types across the round trip
+    (parquet partition inference would turn string keys into ints)."""
+    from dagli_spark.sources.iceberg import read_table, write_table
+
+    df = spark.createDataFrame(
+        [("01", "2026-01-02 03:04:05", 1.5), ("2", "2026-01-03 00:00:00", 2.5)],
+        "k string, ts string, v double").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+    write_table(df, "lake.feat.transforms_smoke",
+                partition_by=["bucket(4, k)", "days(ts)"])
+    back = read_table(spark, "lake.feat.transforms_smoke")
+    assert back.count() == 2
+    # string partition key keeps its type and leading zero
+    assert back.schema["k"].dataType.typeName() == "string"
+    assert {r["k"] for r in back.select("k").collect()} == {"01", "2"}
+    assert "__p_k_bucket" in back.columns and "__p_ts_day" in back.columns
+
+    # identity partitioning on a string column round-trips types too
+    df2 = spark.createDataFrame([("007", 1)], "code string, x int")
+    write_table(df2, "lake.feat.identity_smoke", partition_by=["code"])
+    b2 = read_table(spark, "lake.feat.identity_smoke")
+    assert b2.schema["code"].dataType.typeName() == "string"
+    assert b2.first()["code"] == "007"
