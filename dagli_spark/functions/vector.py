@@ -22,8 +22,12 @@ def _c(col) -> Column:
 
 def vec_sum(a, b) -> Column:
     """Element-wise sum (VectorSum, common/.../vector/VectorSum.java:11-14;
-    LazySumVector)."""
-    return F.zip_with(_c(a), _c(b), lambda x, y: x + y)
+    LazySumVector). The reference sums logically-infinite vectors where a
+    missing index is 0 — zip_with pads the shorter array with nulls, so
+    coalesce keeps the longer vector's tail instead of nulling it."""
+    return F.zip_with(
+        _c(a), _c(b),
+        lambda x, y: F.coalesce(x, F.lit(0.0)) + F.coalesce(y, F.lit(0.0)))
 
 
 def vec_scale(a, s) -> Column:
@@ -86,9 +90,11 @@ def nearest_vector(vec, candidates: list[list[float]], *, metric: str = "l2") ->
         F.array(*[F.lit(float(x)) for x in cand]) for cand in candidates
     ])
     if metric == "l2":
-        dist_fn = lambda c: F.aggregate(  # noqa: E731
+        # coalesce: a dimension-mismatched candidate yields a null distance
+        # (zip_with pads nulls) which would sort FIRST and win the argmin
+        dist_fn = lambda c: F.coalesce(F.aggregate(  # noqa: E731
             F.zip_with(v, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0), lambda acc, x: acc + x)
+            F.lit(0.0), lambda acc, x: acc + x), F.lit(float("inf")))
     elif metric == "cosine":
         # null similarity (zero vector, try_divide) must sort LAST, not
         # first: struct ordering puts null fields before every real value,

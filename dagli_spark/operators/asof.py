@@ -117,10 +117,11 @@ def asof_join(
     strict: if True an event at exactly asof_time is NOT visible.
     tolerance: max allowed ``left_time - matched event time`` (a Column
         interval/numeric delta); matches older than this become null.
-    tiebreak: column breaking ties among equal-time events (max wins);
-        defaults to the first value column (order still deterministic
-        because the sort includes all value columns via the struct? no —
-        supply one for fully pinned semantics on duplicate timestamps).
+    tiebreak: column breaking ties among equal-time events (max wins).
+        With no tiebreak, equal-time events for the same entity have NO
+        defined order (the sort key degenerates to a constant) and the
+        match falls to shuffle order — always supply one when duplicate
+        timestamps are possible (quasi-determinism contract §1.4).
     keep_matched_time: also emit the matched event time column
         (``__asof_matched_time``) — used by the leakage auditor.
     time_buckets / bucket_width: any truthy ``time_buckets`` enables the
@@ -322,7 +323,10 @@ def asof_join_broadcast(
 
     Use when events fit the broadcast threshold (dimension-style
     histories). ``tiebreak`` breaks equal-time events (max wins), exactly
-    like :func:`asof_join`.
+    like :func:`asof_join` — null-key grouping, null-tiebreak ordering
+    (nulls first) and null-event-time visibility (sorts before every
+    time) all mirror the union path's window semantics, pinned by
+    tests/test_asof_robustness.py.
     """
     keys = _normalize_on(on)
     values = _default_values(events, keys, right_time, values)
@@ -333,26 +337,46 @@ def asof_join_broadcast(
         state.alias(_STATE),
     )
 
+    def _nf_lt(a, b):
+        # null-first less-than (the union path sorts asc_nulls_first)
+        return (a.isNull() & b.isNotNull()) | (a < b)
+
     def order_cmp(left, right):
         # compare on (__t, __tb) ONLY — the state payload never enters the
-        # comparison, so unorderable value types (maps) are fine
-        lt = ((left["__t"] < right["__t"])
-              | ((left["__t"] == right["__t"]) & (left["__tb"] < right["__tb"])))
-        eq = (left["__t"].eqNullSafe(right["__t"])
-              & left["__tb"].eqNullSafe(right["__tb"]))
+        # comparison, so unorderable value types (maps) are fine; nulls
+        # order FIRST so the comparator stays total (an inconsistent
+        # comparator would make the matched row depend on input row order)
+        t_eq = left["__t"].eqNullSafe(right["__t"])
+        lt = (_nf_lt(left["__t"], right["__t"])
+              | (t_eq & _nf_lt(left["__tb"], right["__tb"])))
+        eq = t_eq & left["__tb"].eqNullSafe(right["__tb"])
         return F.when(lt, F.lit(-1)).when(eq, F.lit(0)).otherwise(F.lit(1))
 
     packed = events.groupBy(*keys).agg(
         F.array_sort(F.collect_list(entry), order_cmp).alias("__hist"))
-    j = queries.join(F.broadcast(packed), keys, "left")
+    # null-SAFE key join: the window path partitions null keys together
+    p = packed.select(
+        *[F.col(k).alias(f"__pk_{i}") for i, k in enumerate(keys)], "__hist")
+    cond = _and_all([
+        F.col(k).eqNullSafe(F.col(f"__pk_{i}")) for i, k in enumerate(keys)])
+    j = queries.join(F.broadcast(p), cond, "left") \
+        .drop(*[f"__pk_{i}" for i in range(len(keys))])
 
-    # 1-arg lambda closing over the query time (a 2-arg callable would be
-    # sniffed as (element, index) — the CLAUDE.md F.filter arity trap)
+    # Visibility mirrors the union path's sort: a null event time sorts
+    # before every time (visible at minus-infinity), and a null QUERY time
+    # sees only null-time events (and under strict, not even those).
+    # 1-arg lambdas closing over the query time (a 2-arg callable would be
+    # sniffed as (element, index) — the CLAUDE.md F.filter arity trap).
     lt_col = F.col(left_time)
     if strict:
-        vis = F.filter(F.col("__hist"), lambda e: e["__t"] < lt_col)
+        vis = F.filter(
+            F.col("__hist"),
+            lambda e: (e["__t"].isNull() & lt_col.isNotNull())
+            | (e["__t"] < lt_col))
     else:
-        vis = F.filter(F.col("__hist"), lambda e: e["__t"] <= lt_col)
+        vis = F.filter(
+            F.col("__hist"),
+            lambda e: e["__t"].isNull() | (e["__t"] <= lt_col))
     match = F.when(F.size(vis) > 0, F.element_at(vis, F.size(vis)))
     sel = [F.col(c) for c in queries.columns] + [
         match[_STATE][v].alias(v) for v in values

@@ -264,6 +264,11 @@ def simhash_dup_pairs(
     nbits = 32 if hash_method == "poly31" else 64
     blocks = max_hamming + 1
     width = nbits // blocks
+    if width < 1:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) too large for a {nbits}-bit "
+            "simhash: block width would be 0, every band key constant, and "
+            "the candidate self-join a full cross product")
     sh = simhash(df.select(id_col, text_col), text_col, seed=seed,
                  id_col=id_col, hash_method=hash_method)
     # token-less docs carry a NULL simhash (see simhash) — they cannot be

@@ -18,26 +18,26 @@ from pyspark.sql import functions as F
 def multinomial_evaluation(
     df: DataFrame, truth: str, prediction: str, weight=None,
 ) -> dict:
-    """Weighted accuracy + per-(truth, prediction) confusion counts."""
+    """Weighted accuracy + per-(truth, prediction) confusion counts.
+    ONE distributed pass: totals and accuracy derive from the collected
+    confusion cells (two separate jobs would recompute the upstream
+    lineage twice — and on a nondeterministic source could even compute
+    accuracy and confusion from different snapshots)."""
     w = F.col(weight) if weight else F.lit(1.0)
-    agg = df.agg(
-        F.sum(w).alias("total_w"),
-        F.sum(F.when(F.col(truth) == F.col(prediction), w).otherwise(0.0))
-         .alias("correct_w"),
-        F.count(F.lit(1)).alias("n"),
-    ).first()
-    if agg["n"] == 0 or not agg["total_w"]:
-        return {"count": int(agg["n"]), "weight": 0.0, "accuracy": None,
-                "confusion": {}}
-    confusion = [
-        ((r[truth], r[prediction]), float(r["w"]))
-        for r in df.groupBy(truth, prediction).agg(F.sum(w).alias("w")).collect()
-    ]
+    cells = df.groupBy(truth, prediction).agg(
+        F.sum(w).alias("w"), F.count(F.lit(1)).alias("n")).collect()
+    n = sum(int(r["n"]) for r in cells)
+    total_w = sum(float(r["w"]) for r in cells)
+    if n == 0 or not total_w:
+        return {"count": n, "weight": 0.0, "accuracy": None, "confusion": {}}
+    correct_w = sum(float(r["w"]) for r in cells
+                    if r[truth] == r[prediction] and r[truth] is not None)
     return {
-        "count": int(agg["n"]),
-        "weight": float(agg["total_w"]),
-        "accuracy": float(agg["correct_w"]) / float(agg["total_w"]),
-        "confusion": dict(confusion),
+        "count": n,
+        "weight": total_w,
+        "accuracy": correct_w / total_w,
+        "confusion": {(r[truth], r[prediction]): float(r["w"])
+                      for r in cells},
     }
 
 
@@ -74,10 +74,15 @@ def binary_evaluation(
     if weight is None:
         from dagli_spark.operators.twophase import global_running_sum
 
-        per_score = df.groupBy(F.col(score).alias("s")).agg(
-            F.sum(F.when(t, 1).otherwise(0)).alias("np"),
-            F.sum(F.when(~t, 1).otherwise(0)).alias("nn"),
-        )
+        # null scores are excluded — the tp/fp/fn/tn confusion above
+        # already skips them (a null predicate falls through both when
+        # branches); counting them here as a lowest-score group would make
+        # auc and the confusion describe different populations
+        per_score = df.where(F.col(score).isNotNull()) \
+            .groupBy(F.col(score).alias("s")).agg(
+                F.sum(F.when(t, 1).otherwise(0)).alias("np"),
+                F.sum(F.when(~t, 1).otherwise(0)).alias("nn"),
+            )
         # two-phase prefix sum: the distinct-score table never serializes
         # through a single-partition window (operators/twophase.py)
         contrib = global_running_sum(

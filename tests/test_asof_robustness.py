@@ -107,3 +107,45 @@ def test_bucketed_path_matches_plain_with_null_keys(spark):
     a = sorted((r["qid"], r["v"]) for r in plain.collect())
     b = sorted((r["qid"], r["v"]) for r in bucketed.collect())
     assert a == b == [("qa", 10.0), ("qb", 20.0)]
+
+
+def test_broadcast_variant_null_semantics_match_union_path(spark):
+    """Round-2 re-review: null keys, null tiebreaks and null event times
+    behave identically in asof_join and asof_join_broadcast."""
+    from dagli_spark.operators.asof import asof_join, asof_join_broadcast
+
+    q = spark.createDataFrame(
+        [(None, 100.0, "qa"), ("1", 100.0, "qb")],
+        "k string, asof_time double, qid string")
+    e = spark.createDataFrame(
+        [(None, 1.0, 10.0), ("1", 2.0, 20.0), ("1", None, 5.0)],
+        "k string, t double, v double")
+    a = {r["qid"]: r["v"] for r in asof_join(
+        q, e, on="k", left_time="asof_time", right_time="t",
+        values=["v"], tiebreak="v").collect()}
+    b = {r["qid"]: r["v"] for r in asof_join_broadcast(
+        q, e, on="k", left_time="asof_time", right_time="t",
+        values=["v"], tiebreak="v").collect()}
+    assert a == b == {"qa": 10.0, "qb": 20.0}
+
+    # null event time is visible at minus-infinity in both paths
+    e2 = spark.createDataFrame([("1", None, 99.0)], "k string, t double, v double")
+    a2 = asof_join(q, e2, on="k", left_time="asof_time", right_time="t",
+                   values=["v"]).collect()
+    b2 = asof_join_broadcast(q, e2, on="k", left_time="asof_time",
+                             right_time="t", values=["v"]).collect()
+    av = {r["qid"]: r["v"] for r in a2}
+    bv = {r["qid"]: r["v"] for r in b2}
+    assert av == bv and av["qb"] == 99.0
+
+    # null tiebreaks order nulls-first in both paths (insertion-order
+    # independent): the non-null tiebreak wins the equal-time tie
+    e3 = spark.createDataFrame(
+        [("1", 5.0, 100.0, None), ("1", 5.0, 200.0, 7)],
+        "k string, t double, v double, tb int")
+    for frame in (e3, e3.orderBy(F.col("v").desc())):
+        got = asof_join_broadcast(
+            q.where(F.col("qid") == "qb"), frame, on="k",
+            left_time="asof_time", right_time="t", values=["v"],
+            tiebreak="tb").first()["v"]
+        assert got == 200.0

@@ -210,3 +210,44 @@ def test_most_likely_label_empty_distribution_null(spark):
                                "d map<string,double>")
     got = [r[0] for r in df.select(most_likely_label("d")).collect()]
     assert got == [None, "a"]
+
+
+def test_vec_sum_missing_index_zero(spark):
+    """Reference VectorSum: missing indices are 0, not null."""
+    from dagli_spark.functions.vector import vec_sum
+
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [10.0, 20.0])],
+                               "a array<double>, b array<double>")
+    out = df.select(vec_sum("a", "b").alias("s")).first()["s"]
+    assert list(out) == [11.0, 22.0, 3.0]
+
+
+def test_nearest_vector_l2_dimension_mismatch(spark):
+    from dagli_spark.functions.vector import nearest_vector
+
+    df = spark.createDataFrame([([1.0, 1.0, 1.0],)], "v array<double>")
+    nn = nearest_vector(F.col("v"), [[0.0, 0.0], [1.0, 1.0, 1.0]])
+    got = df.select(nn.alias("nn")).first()["nn"]
+    assert got["idx"] == 1 and got["dist"] == 0.0
+
+
+def test_binary_evaluation_null_scores_consistent(spark):
+    """Null scores are outside BOTH the confusion and the AUC population."""
+    from dagli_spark.operators.evaluation import binary_evaluation
+
+    df = spark.createDataFrame(
+        [(True, 0.9), (False, 0.1), (True, None), (True, 0.8), (False, 0.2)],
+        "y boolean, s double")
+    r = binary_evaluation(df, "y", "s")
+    assert r["tp"] + r["fn"] == 2.0
+    assert r["auc"] == 1.0  # perfect separation among scored rows
+
+
+def test_simhash_width_guard(spark):
+    import pytest as _pytest
+    from dagli_spark.operators.dedup import simhash_dup_pairs
+
+    df = spark.createDataFrame([("x", "a b c")], "doc_id string, text string")
+    with _pytest.raises(ValueError, match="block width"):
+        simhash_dup_pairs(df, "text", "doc_id", max_hamming=32,
+                          hash_method="poly31")
