@@ -80,3 +80,45 @@ def test_asof_matches_pandas_oracle(spark, ev, qs, strict, tol, bucketed):
         assert (g[3] is None) == (x[3] is None), (g, x)
         if g[3] is not None:
             assert g[3] == x[3] and g[4] == x[4], (g, x)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    ev=st.lists(EVENT, min_size=0, max_size=40),
+    qs=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 50)),
+                min_size=1, max_size=25),
+    strict=st.booleans(),
+)
+def test_broadcast_variant_matches_pandas_oracle(spark, ev, qs, strict):
+    """Cross-variant equivalence on random data: the packed-history
+    broadcast as-of must agree with the same oracle the union path is
+    pinned against (round-2 rewrite)."""
+    from pyspark.sql import functions as F
+    from dagli_spark.operators.asof import asof_join_broadcast
+
+    events = [(f"e{e}", t, i, float(v)) for i, (e, t, v) in enumerate(ev)]
+    queries = [(f"e{e}", t, i) for i, (e, t) in enumerate(qs)]
+    edf = spark.createDataFrame(
+        events or [("__none__", -1, -1, 0.0)],
+        "entity string, ts long, eid long, val double")
+    if not events:
+        edf = edf.where("ts >= 0")
+    qdf = spark.createDataFrame(
+        queries, "entity string, asof long, qid long")
+
+    got = asof_join_broadcast(
+        qdf, edf, on="entity", left_time="asof", right_time="ts",
+        values=["val", "eid"], tiebreak="eid", strict=strict)
+    got_rows = sorted(
+        ((r["entity"], r["asof"], r["qid"], r["val"], r["eid"])
+         for r in got.collect()),
+        key=lambda r: (r[0], r[1], r[2]))
+    exp = _pandas_asof(
+        [(e, t, i, v) for (e, t, i, v) in events], queries, strict)
+    assert len(got_rows) == len(exp)
+    for g, x in zip(got_rows, exp):
+        assert g[:3] == x[:3]
+        assert (g[3] is None) == (x[3] is None), (g, x)
+        if g[3] is not None:
+            assert g[3] == x[3] and g[4] == x[4], (g, x)

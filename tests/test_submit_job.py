@@ -41,3 +41,20 @@ def test_spark_submit_py_files_smoke(tmp_path):
     assert audit["violations"] == 0
     assert audit["rows"] > 0
     assert os.path.exists(os.path.join(out_dir, "_SUCCESS"))
+
+
+def test_feature_pipeline_demo_runs():
+    """The library-tour example (examples/feature_pipeline_demo.py) runs
+    end to end and emits feature rows."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples",
+                                      "feature_pipeline_demo.py")],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert "feature rows: " in r.stdout
