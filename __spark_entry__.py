@@ -926,7 +926,38 @@ def q_northrule_temporal(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering matters: the driver's correctness gate samples the FIRST 50
+    # entries.  Round-3 rotation: the 20 queries that had never received a
+    # driver row (flagship northrule_temporal/northrule_features first) now
+    # occupy the front, backfilled to 50 with the rows that changed this
+    # round or anchor a family (asof/*, densify, rank_population, kmeans,
+    # knn_ivf, ...).  The 20 entries past position 50 are double-green
+    # veterans from r01+r02 (still checked every run by the in-repo replica
+    # tests/test_oracle_parity.py); rotate them back in before adding any
+    # brand-new query behind them.
     return {
+        # -- never driver-checked before round 3 (flagships first) --------
+        "northrule_temporal": q_northrule_temporal,
+        "northrule_features": q_northrule,
+        "bucket_index": q_bucket_index,
+        "ranking_eval": q_ranking_eval,
+        "multinomial_eval": q_multinomial_eval,
+        "topk_eval": q_topk_eval,
+        "indices": q_indices,
+        "hamming": q_hamming,
+        "word_ngrams": q_word_ngrams,
+        "char_ngrams": q_char_ngrams,
+        "ngram_padding": q_ngram_padding,
+        "text_normalize": q_text_normalize,
+        "tokens_locale": q_tokens_locale,
+        "many_hot": q_many_hot,
+        "grouped_multiplicity": q_grouped_multiplicity,
+        "null_filtered_normalized": q_null_filtered_normalized,
+        "vector_accessors": q_vector_accessors,
+        "dist_vector_bridge": q_dist_vector_bridge,
+        "dist_sample": q_dist_sample,
+        "top_by_pmi": q_top_by_pmi,
+        # -- stable greens kept in-window (touched or family anchors) -----
         "pricing_summary": q_pricing_summary,
         "top_orders_per_cust": q_top_orders_per_cust,
         "region_revenue": q_region_revenue,
@@ -936,67 +967,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead": q_lag_lead,
         "forward_fill": q_forward_fill,
         "sessionize": q_sessionize,
-        "session_stats": q_session_stats,
         "rolling_rows": q_rolling_rows,
         "rolling_range": q_rolling_range,
-        "example_index": q_example_index,
         "index_dict": q_index_dict,
         "index_applied": q_index_applied,
+        "rank_population": q_rank_population,
+        "kfold": q_kfold,
+        "text_stats": q_text_stats,
+        "exact_dedup": q_exact_dedup,
+        "top_tokens": q_top_tokens,
+        "knn_bruteforce": q_knn_bruteforce,
+        "minhash_portable": q_minhash_portable,
+        "simhash_portable": q_simhash_portable,
+        "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
+        "binary_auc": q_binary_auc,
+        "kmeans": q_kmeans,
+        "isotonic": q_isotonic,
+        "normalized": q_normalized,
+        "kfold_target_encode": q_kfold_target_encode,
+        "nearest_centroid": q_nearest_centroid,
+        "densify": q_densify,
+        # -- rotated out this round (r01+r02 double-green; replica-checked)
+        "session_stats": q_session_stats,
+        "example_index": q_example_index,
         "multiplicity": q_multiplicity,
         "multiset": q_multiset,
         "order_statistic": q_order_statistic,
         "bucket_ntile": q_bucket_ntile,
-        "rank_population": q_rank_population,
-        "kfold": q_kfold,
-        "text_stats": q_text_stats,
         "token_count_bpe": q_token_count_bpe,
         "quality": q_quality,
-        "exact_dedup": q_exact_dedup,
-        "top_tokens": q_top_tokens,
-        "knn_bruteforce": q_knn_bruteforce,
-        "centroid_norm": q_centroid_norm,
-        "minhash_pairs": q_minhash_pairs,
-        "minhash_portable": q_minhash_portable,
-        "simhash_pairs": q_simhash_pairs,
-        "simhash_portable": q_simhash_portable,
-        "knn_lsh": q_knn_lsh,
-        "knn_ivf": q_knn_ivf,
         "lang_id": q_lang_id,
         "rank_limited": q_rank_limited,
         "dict_value": q_dict_value,
         "dist_argmax": q_dist_argmax,
-        "binary_auc": q_binary_auc,
-        "kmeans": q_kmeans,
-        "isotonic": q_isotonic,
         "stratified_sample": q_stratified_sample,
-        "normalized": q_normalized,
         "grouped_mean": q_grouped_mean,
-        "kfold_target_encode": q_kfold_target_encode,
-        "nearest_centroid": q_nearest_centroid,
         "avg_embedding": q_avg_embedding,
         "text_ops": q_text_ops,
-        "densify": q_densify,
         "top_by_value": q_top_by_value,
-        "top_by_pmi": q_top_by_pmi,
-        "bucket_index": q_bucket_index,
-        "multinomial_eval": q_multinomial_eval,
-        "topk_eval": q_topk_eval,
-        "word_ngrams": q_word_ngrams,
-        "char_ngrams": q_char_ngrams,
-        "indices": q_indices,
-        "hamming": q_hamming,
-        "northrule_features": q_northrule,
-        "northrule_temporal": q_northrule_temporal,
-        "tokens_locale": q_tokens_locale,
-        "ranking_eval": q_ranking_eval,
-        "dist_sample": q_dist_sample,
-        "ngram_padding": q_ngram_padding,
-        "text_normalize": q_text_normalize,
-        "many_hot": q_many_hot,
-        "grouped_multiplicity": q_grouped_multiplicity,
-        "null_filtered_normalized": q_null_filtered_normalized,
-        "vector_accessors": q_vector_accessors,
-        "dist_vector_bridge": q_dist_vector_bridge,
+        "centroid_norm": q_centroid_norm,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
     }
 
 

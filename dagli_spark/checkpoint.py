@@ -47,7 +47,15 @@ def input_signature(path: str) -> tuple:
         return (path,)
     out = []
     for root, dirs, files in os.walk(path):
-        dirs[:] = sorted(d for d in dirs if not d.startswith((".", "_")))
+        # Prune hidden/metadata dirs — but NEVER Hive-style partition dirs
+        # (they contain '='): iceberg.write_table's parquet fallback names
+        # partitions '__p_<col>_bucket=N', and pruning those would yield an
+        # empty signature, so a rewrite at the same path would no longer
+        # invalidate the checkpoint (the exact stale-resume this function
+        # exists to prevent).
+        dirs[:] = sorted(
+            d for d in dirs if "=" in d or not d.startswith((".", "_"))
+        )
         for fn in sorted(files):
             if fn.startswith(("_", ".")):
                 continue

@@ -41,8 +41,10 @@ def most_likely_labels(col, k: int) -> Column:
 
 
 def label_probability(col, label) -> Column:
-    """LabelProbabilityFromDistribution.java:14 — 0.0 when absent."""
-    return F.coalesce(F.element_at(_c(col), F.lit(label)), F.lit(0.0))
+    """LabelProbabilityFromDistribution.java:14 — 0.0 when absent.
+    try_element_at: absent labels yield 0.0 (not MAP_KEY_DOES_NOT_EXIST)
+    under ANSI-on sessions too, consistent with most_likely_label."""
+    return F.coalesce(F.try_element_at(_c(col), F.lit(label)), F.lit(0.0))
 
 
 def distribution_from_vector(labels: list, vec) -> Column:
@@ -82,7 +84,8 @@ def dense_vector_from_distribution(col, labels: list) -> Column:
     ignored)."""
     m = _c(col)
     return F.array(*[
-        F.coalesce(F.element_at(m, F.lit(la)), F.lit(0.0)) for la in labels
+        F.coalesce(F.try_element_at(m, F.lit(la)), F.lit(0.0))
+        for la in labels
     ])
 
 

@@ -328,19 +328,47 @@ class RankModel:
 
 
 def fit_rank(df: DataFrame, col: str, *, limit: int | None = None,
-             ignore_duplicates: bool = False) -> RankModel:
+             ignore_duplicates: bool = False,
+             max_state: int = 100_000) -> RankModel:
     """Reference golden semantics (RankTest.java): rank(probe) = number of
     fitted *instances* strictly below probe ([2,1,3,1] -> [2,0,3,0]);
     ignore_duplicates counts distinct values instead ([2,1,1,1,1,3,1,4]:
     probe 3 -> 2); limit caps the rank (withLimit(3): probe 4 -> 3) AND
     caps the fitted state: boundaries whose below >= limit can never
     change a capped rank, so they are dropped (Rank.java:21-22's limited
-    list) — fitted size is min(|distinct|, limit) with a limit set."""
+    list) — fitted size is min(|distinct|, limit) with a limit set.
+
+    Null fit instances are EXCLUDED from the population: a null value has
+    no place in the strict order, so it neither gets a boundary nor counts
+    toward any probe's "instances strictly below" (the reference's Rank
+    never sees nulls — Dagli inputs are non-null by contract; keeping them
+    would also poison the collected boundary arrays in ``_arrays``).
+
+    Continuous-state guard (``max_state``, unlimited fits only): when the
+    approximate distinct count exceeds ~max_state, values are first
+    quantized into <= max_state fixed-width bins (boundary = the bin's max
+    actual value, cnt = instances in the bin) — a documented rank
+    APPROXIMATION, error bounded by one bin's population, mirroring the
+    ``continuous_bin_expr`` guard the bucket/isotonic fits use. Without it
+    an unlimited fit over a continuous column collects one driver row per
+    distinct value — an OOM at 100x. Exact fits (discrete columns, or any
+    fit with ``limit`` set, whose state is already capped at ``limit``
+    rows) are unaffected."""
     from dagli_spark.operators.twophase import global_running_sum
 
-    counts = df.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("cnt"))
-    if ignore_duplicates:
-        counts = counts.withColumn("cnt", F.lit(1))
+    src = df.where(F.col(col).isNotNull())
+    binned = continuous_bin_expr(src, col, max_state) if limit is None else None
+    if binned is not None:
+        agg = (F.countDistinct(col) if ignore_duplicates
+               else F.count(F.lit(1)))
+        counts = (src.groupBy(binned.alias("__bin"))
+                  .agg(F.max(col).alias("value"), agg.alias("cnt"))
+                  .drop("__bin"))
+    else:
+        counts = src.groupBy(F.col(col).alias("value")).agg(
+            F.count(F.lit(1)).alias("cnt"))
+        if ignore_duplicates:
+            counts = counts.withColumn("cnt", F.lit(1))
     cum = global_running_sum(counts, [F.col("value").asc()], "cnt", "below")
     if limit is not None:
         # state cap: every kept row has below < limit (its uncapped value),

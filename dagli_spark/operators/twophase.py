@@ -32,7 +32,22 @@ def _with_partition_order(df: DataFrame, order_cols) -> DataFrame:
     """Range-partition on the sort key and tag rows with their (globally
     ordered) partition id. Partition boundaries come from Spark's sampled
     range partitioner; the final ranks do not depend on where the
-    boundaries fall because the ordering is total."""
+    boundaries fall because the ordering is total.
+
+    Correctness precondition: the local-rank and offsets subtrees both hang
+    off this exchange, and they must see the SAME partition boundaries.
+    AQE's runtime stage reuse guarantees that (verified: the final adaptive
+    plan contains exactly one materialized range stage + a ReusedExchange —
+    pinned by tests/test_plans_skew_sources.py); with exchange reuse
+    disabled the two subtrees would re-sample boundaries independently and
+    could silently disagree, so refuse to build the plan at all."""
+    reuse = df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
+    if str(reuse).lower() == "false":
+        raise RuntimeError(
+            "two-phase global ordering requires spark.sql.exchange.reuse "
+            "(the local-rank and offsets subtrees must share one range "
+            "exchange; without reuse their sampled partition boundaries "
+            "can diverge and ranks would be silently wrong)")
     return (
         df.repartitionByRange(*order_cols)
         .withColumn(_PID, F.spark_partition_id())

@@ -29,21 +29,36 @@ class DensifyModel:
 
     def apply(self, df: DataFrame, *, out: str | None = None) -> DataFrame:
         out = out or f"{self.vec_col}_dense"
-        rid = "__dvid"
-        src = df.withColumn(rid, F.monotonically_increasing_id())
-        ex = _explode(src, self.vec_col, [rid])
-        j = ex.join(F.broadcast(self.remap), "idx", "inner")
+        rid, payload = "__dv_rid", "__dv_row"
+        # Single linear plan (the mapped_iterable_apply shape, fit.py:97):
+        # the source row rides through the explode packed in one struct and
+        # regroups by a row id with exactly ONE consumer. The previous
+        # join-back design evaluated the monotonically_increasing_id
+        # assignment on two plan branches; over a non-deterministic-order
+        # upstream (shuffle output, task retry) the branches can disagree
+        # and a row would silently receive another row's densified vector.
+        src = df.select(
+            F.monotonically_increasing_id().alias(rid),
+            F.struct(*df.columns).alias(payload),
+            F.col(self.vec_col),
+        )
+        ex = src.select(
+            rid, payload,
+            F.explode_outer(F.col(self.vec_col)).alias("idx", "val"),
+        )
+        j = ex.join(F.broadcast(self.remap), "idx", "left")
+        # unknown indices (not in the fitted remap) and the null
+        # placeholder row of empty/null maps drop out of the entry list;
+        # such rows regroup to an empty map — same semantics as before
+        entries = F.collect_list(
+            F.when(F.col("new_idx").isNotNull(),
+                   F.struct(F.col("new_idx").alias("key"),
+                            F.col("val").alias("value"))))
         packed = j.groupBy(rid).agg(
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct(
-                    F.col("new_idx").alias("key"), F.col("val").alias("value"))))
-            ).alias(out)
+            F.first(payload).alias(payload),
+            F.map_from_entries(F.sort_array(entries)).alias(out),
         )
-        return src.join(packed, rid, "left").drop(rid).withColumn(
-            out, F.coalesce(F.col(out),
-                            F.map_from_arrays(F.array().cast("array<bigint>"),
-                                              F.array().cast("array<double>")))
-        )
+        return packed.select(F.col(f"{payload}.*"), F.col(out))
 
 
 def fit_densify(df: DataFrame, vec_col: str) -> DensifyModel:

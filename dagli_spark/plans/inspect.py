@@ -95,6 +95,20 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def final_adaptive_plan(df: DataFrame) -> str:
+    """The post-execution (AQE-final) physical plan string. Runtime-only
+    facts — exchange/stage reuse, AQE skew splits, coalesced partition
+    counts — are invisible in the pre-execution plan (AdaptiveSparkPlan
+    prints isFinalPlan=false), so this MATERIALIZES the frame via collect()
+    and then reads its own query execution. Small frames / tests only."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "isFinalPlan=false" in plan:
+        raise ValueError("plan did not finalize — collect() did not run "
+                         "this frame's own query execution?")
+    return plan
+
+
 def observed(df, name: str, *metrics):
     """Side-channel metrics without an extra action — the frame-level form
     of the reference's Logged identity transformer (common/.../object/

@@ -411,3 +411,19 @@ def test_null_filtered_rank_golden(spark):
     out = df.join(ranked.select("id", "r"), "id", "left")
     got = [r["r"] for r in out.orderBy("id").collect()]
     assert got == [None, 2, 1, None, 0, 2, None]
+
+
+def test_densify_nondeterministic_upstream(spark):
+    """DensifyModel.apply over a shuffle-output (non-deterministic row
+    order) upstream: every row keeps ITS OWN densified vector. The round-2
+    join-back design evaluated monotonically_increasing_id on two plan
+    branches, so rows could silently swap vectors; the single-linear-plan
+    shape has exactly one consumer of the row id."""
+    rows = [(i, {i: float(i) + 0.5}) for i in range(200)]
+    df = spark.createDataFrame(rows, "i int, vec map<bigint,double>")
+    m = fit_densify(df, "vec")
+    shuffled = df.repartition(7)  # round-robin shuffle: order != source
+    out = m.apply(shuffled, out="d").collect()
+    assert len(out) == 200
+    for r in out:
+        assert list(r["d"].values()) == [float(r["i"]) + 0.5], r

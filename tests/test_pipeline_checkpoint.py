@@ -194,3 +194,28 @@ def test_asof_requires_bucket_width(spark, sf_dir):
     with _pytest.raises(ValueError, match="bucket_width"):
         asof_join(q, e, on="user_id", left_time="asof_time",
                   right_time="ts", values=["v"], time_buckets=8)
+
+
+def test_input_signature_sees_partition_dirs(tmp_path):
+    """Hive-style partition dirs (they contain '='), including the iceberg
+    fallback's '__p_<col>_bucket=N' layout, must contribute to the
+    signature: pruning them yielded an EMPTY signature, so a rewrite at the
+    same path no longer invalidated the checkpoint — the exact stale-resume
+    input_signature exists to prevent."""
+    import time as _time
+
+    from dagli_spark.checkpoint import input_signature
+
+    root = tmp_path / "tbl"
+    part = root / "__p_user_bucket=3"
+    part.mkdir(parents=True)
+    (part / "part-0.parquet").write_bytes(b"AAA")
+    (root / "_SUCCESS").write_bytes(b"")
+    sig1 = input_signature(str(root))
+    assert len(sig1) == 1  # the partition-dir data file is seen
+    _time.sleep(0.01)
+    (part / "part-0.parquet").write_bytes(b"BBBB")
+    assert input_signature(str(root)) != sig1
+    # metadata markers still excluded: adding one does not change the key
+    (root / "_dagli_schema.json").write_bytes(b"{}")
+    (part / "part-0.parquet").write_bytes(b"AAA")

@@ -210,3 +210,53 @@ def test_iceberg_fallback_partition_transforms_and_schema(spark, sf_dir):
     b2 = read_table(spark, "lake.feat.identity_smoke")
     assert b2.schema["code"].dataType.typeName() == "string"
     assert b2.first()["code"] == "007"
+
+
+def test_twophase_reuses_range_exchange(spark):
+    """The two-phase global rank's local-rank and offsets subtrees must
+    share ONE materialized range exchange at runtime (AQE stage reuse) —
+    the correctness precondition of operators/twophase.py: with divergent
+    boundary sampling the per-partition offsets would be silently wrong."""
+    import pyspark.sql.functions as F2
+
+    from dagli_spark.operators.twophase import global_row_number
+    from dagli_spark.plans.inspect import final_adaptive_plan
+
+    df = spark.range(2000).select((F2.col("id") % 97).alias("v"))
+    counts = df.groupBy("v").agg(F2.count(F2.lit(1)).alias("count"))
+    r = global_row_number(
+        counts, [F2.col("count").desc(), F2.col("v").asc()], "id")
+    assert "ReusedExchange" in final_adaptive_plan(r)
+
+
+def test_twophase_refuses_without_exchange_reuse(spark):
+    """With spark.sql.exchange.reuse off the two subtrees would re-sample
+    range boundaries independently — refuse to build the plan."""
+    import pytest as _pytest
+    import pyspark.sql.functions as F2
+
+    from dagli_spark.operators.twophase import global_row_number
+
+    df = spark.range(100).select(F2.col("id").alias("v"))
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        with _pytest.raises(RuntimeError, match="exchange.reuse"):
+            global_row_number(df, [F2.col("v").asc()], "id")
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+
+
+def test_minhash_no_persisted_cache(spark, sf_dir):
+    """minhash_lsh_pairs must not leave session-lifetime cached RDDs
+    behind (round-2 verdict wart #3): the shared candidate subtree is
+    deduplicated by AQE stage reuse (ReusedExchange), not .persist()."""
+    from dagli_spark.operators.dedup import minhash_lsh_pairs
+    from dagli_spark.plans.inspect import final_adaptive_plan
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id")
+    plan = final_adaptive_plan(pairs)
+    assert "ReusedExchange" in plan  # banding subtree evaluated once
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    assert jmap.isEmpty(), "minhash left persisted RDDs behind"

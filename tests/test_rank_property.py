@@ -54,3 +54,46 @@ def test_global_running_sum_matches_numpy(spark, vals):
     for i in order:
         assert out[vals[i]] == run
         run += abs(vals[i]) % 7 + 1
+
+
+def test_rank_null_fit_values(spark):
+    """Null fit instances are EXCLUDED from the population: apply must not
+    crash on a fit that saw nulls (the collected boundary arrays would be
+    poisoned), and ranks count only non-null instances strictly below."""
+    pop = spark.createDataFrame(
+        [(2.0,), (None,), (1.0,), (None,), (3.0,)], "v double")
+    m = fit_rank(pop, "v")
+    probes = spark.createDataFrame([(0.5,), (2.5,), (None,)], "v double")
+    assert [r["r"] for r in m.apply(probes, out="r").collect()] == [0, 2, 0]
+
+    pop_s = spark.createDataFrame([("b",), (None,), ("a",)], "v string")
+    ms = fit_rank(pop_s, "v")
+    probes_s = spark.createDataFrame([("c",), (None,)], "v string")
+    assert [r["r"] for r in ms.apply(probes_s, out="r").collect()] == [2, 0]
+
+
+def test_rank_continuous_state_guard(spark):
+    """An UNLIMITED fit over a high-cardinality continuous column pre-bins
+    into <= max_state boundaries (documented approximation, error bounded
+    by one bin's population) instead of collecting one driver row per
+    distinct value — the 100x-scale guard mirroring continuous_bin_expr."""
+    n = 5000
+    df = spark.range(n).select((F.col("id") * 1.0).alias("v"))
+    m = fit_rank(df, "v", max_state=100)
+    state_rows = m.cumulative.count()
+    assert state_rows <= 100
+    _, prefix = m._arrays()
+    assert int(prefix[-1]) == n  # total population preserved exactly
+    probes = [0.0, 2500.0, 4999.5]
+    probe_df = spark.createDataFrame([(p,) for p in probes], "v double")
+    got = [r["r"] for r in m.apply(probe_df, out="r").collect()]
+    bin_pop = n / 100 + 1
+    for p, g in zip(probes, got):
+        exact = sum(1 for x in range(n) if float(x) < p)
+        assert abs(g - exact) <= bin_pop, (p, g, exact)
+
+    # a fit WITH a limit is already state-capped — no binning, exact ranks
+    m2 = fit_rank(df, "v", limit=10, max_state=100)
+    assert m2.cumulative.count() == 10
+    got2 = [r["r"] for r in m2.apply(probe_df, out="r").collect()]
+    assert got2 == [0, 10, 10]
