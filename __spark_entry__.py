@@ -576,6 +576,34 @@ def q_text_ops(spark, sf_dir):
     )
 
 
+def q_phone_plan(spark, sf_dir):
+    """ContainsPhoneNumber at both leniencies (round-3 number-plan port:
+    NANP structural rules, reference default VALID bars local numbers).
+    The RE2-safe patterns replay byte-for-byte in the DuckDB oracle.
+    The corpus text contains no phone-shaped strings (all-false — the
+    negative path), so a deterministic doc_id-derived probe column cycles
+    through the three decision branches: full NANP number (valid +
+    possible), 7-digit local (possible only), currency amount (neither)."""
+    d = _t(spark, sf_dir, "documents")
+    four = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    probe = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("call 442-253-"), four, F.lit(" now")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("local 253-"), four, F.lit(" line")))
+        .otherwise(F.concat(F.lit("cost $"),
+                            (F.col("doc_id") * 37).cast("string")))
+    )
+    return d.select(
+        "doc_id",
+        T.contains_phone("text").alias("has_phone_valid"),
+        T.contains_phone("text", leniency="possible")
+            .alias("has_phone_possible"),
+        T.contains_phone(probe).alias("probe_valid"),
+        T.contains_phone(probe, leniency="possible").alias("probe_possible"),
+    )
+
+
 def _sparse_events(spark, sf_dir):
     """Deterministic sparse-vector column for the densify/top-by-value
     family: map{event_id % 97 -> value}."""
@@ -968,7 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_fill": q_forward_fill,
         "sessionize": q_sessionize,
         "rolling_rows": q_rolling_rows,
-        "rolling_range": q_rolling_range,
+        "phone_plan": q_phone_plan,  # new this round — straight in-window
         "index_dict": q_index_dict,
         "index_applied": q_index_applied,
         "rank_population": q_rank_population,
@@ -989,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_centroid": q_nearest_centroid,
         "densify": q_densify,
         # -- rotated out this round (r01+r02 double-green; replica-checked)
+        "rolling_range": q_rolling_range,
         "session_stats": q_session_stats,
         "example_index": q_example_index,
         "multiplicity": q_multiplicity,
@@ -1109,7 +1138,8 @@ def _text_normalize_oracle() -> str:
     nfc_normalize; ReplacedSubstrings in the engine's sorted-key order;
     phone regex shared verbatim (constructs valid in both Java regex and
     RE2)."""
-    from dagli_spark.functions.text import _ACCENT_DST, _ACCENT_SRC, PHONE_RE
+    from dagli_spark.functions.text import (_ACCENT_DST, _ACCENT_SRC,
+                                            PHONE_VALID_RE)
 
     return f"""
         SELECT doc_id,
@@ -1117,7 +1147,7 @@ def _text_normalize_oracle() -> str:
                  AS latin_folded,
                length(nfc_normalize(text)) AS nfc_len,
                replace(replace(text, 'and', 'AND'), 'the', 'THE') AS subst,
-               regexp_matches(text, '{PHONE_RE}') AS has_phone
+               regexp_matches(text, '{PHONE_VALID_RE}') AS has_phone
         FROM documents
     """
 
@@ -1660,6 +1690,33 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
                      AS has_email
             FROM documents
+        """,
+        # same RE2-safe pattern strings the engine compiles (single source
+        # of truth: functions/text.PHONE_*_RE — no lookarounds, so Java
+        # regex and RE2 agree)
+        "phone_plan": f"""
+            WITH p AS (
+                SELECT doc_id, text,
+                       CASE
+                         WHEN doc_id % 3 = 0 THEN 'call 442-253-' ||
+                           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           || ' now'
+                         WHEN doc_id % 3 = 1 THEN 'local 253-' ||
+                           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           || ' line'
+                         ELSE 'cost $' || CAST(doc_id * 37 AS VARCHAR)
+                       END AS probe
+                FROM documents)
+            SELECT doc_id,
+                   regexp_matches(text, '{T.PHONE_VALID_RE}')
+                     AS has_phone_valid,
+                   regexp_matches(text, '{T.PHONE_POSSIBLE_RE}')
+                     AS has_phone_possible,
+                   regexp_matches(probe, '{T.PHONE_VALID_RE}')
+                     AS probe_valid,
+                   regexp_matches(probe, '{T.PHONE_POSSIBLE_RE}')
+                     AS probe_possible
+            FROM p
         """,
         "densify": """
             WITH s AS (SELECT event_id, event_id % 97 AS idx, value AS val

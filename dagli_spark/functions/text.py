@@ -48,14 +48,32 @@ def substring_count(col, sub: str) -> Column:
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
-# Phone shapes: optional +country, optional (area), then a 3-digit group,
-# a 4-digit group and an optional extension — minimum 7 digits total, so
-# ISO dates (2026-08-17) and short number runs no longer fire. Constructs
-# shared by Java regex (Spark) and RE2 (DuckDB oracle — no lookarounds).
-# Still an approximation: the reference wraps libphonenumber
-# (text-phone/.../ContainsPhoneNumber.java).
-PHONE_RE = (r"(\+\d{1,3}[-. ]?)?(\(\d{2,4}\)[-. ]?)?"
-            r"\d{3}[-. ]?\d{4}([-. ]?\d{2,4})?")
+# NANP number-plan heuristics. The reference wraps libphonenumber with the
+# hardcoded region "US" and default Leniency.VALID; withLeniency(POSSIBLE)
+# loosens to a length-only check (text-phone/.../ContainsPhoneNumber.java:
+# 19,34-36). Ported structurally rather than via carrier metadata:
+# candidates are digit groups joined by [-. ] or parenthesized, with an
+# optional +1 country code, NOT preceded by a digit, '$', ',' or '.'
+# (currency amounts and comma-grouped thousands like $500,000 never fire —
+# libphonenumber's matcher skips those candidates) and not followed by a
+# digit (never a slice of a longer run).
+#   possible: national length 7 (local) or 10 — libphonenumber's US
+#     possible-length set (ContainsPhoneNumberTest.java: "253-2131" and
+#     "2532131" are POSSIBLE matches).
+#   valid (default): 10 national digits with NANP structure — area code
+#     [2-9]XX and central-office code [2-9]XX, which "will bar local
+#     numbers" exactly as the reference's VALID docstring says.
+# RE2-compatible (no lookaround — boundaries consume a char instead) so
+# the DuckDB oracle replays the same pattern byte-for-byte.
+_PHONE_BOUND_L = r"(^|[^0-9$,.])"
+_PHONE_BOUND_R = r"([^0-9]|$)"
+_PHONE_CC = r"(\+?1[-. ]?)?"
+PHONE_POSSIBLE_RE = (_PHONE_BOUND_L + _PHONE_CC
+                     + r"(\(\d{3}\)[-. ]?|\d{3}[-. ]?)?"
+                     + r"\d{3}[-. ]?\d{4}" + _PHONE_BOUND_R)
+PHONE_VALID_RE = (_PHONE_BOUND_L + _PHONE_CC
+                  + r"(\([2-9]\d{2}\)[-. ]?|[2-9]\d{2}[-. ]?)"
+                  + r"[2-9]\d{2}[-. ]?\d{4}" + _PHONE_BOUND_R)
 
 
 def contains_email(col) -> Column:
@@ -63,10 +81,20 @@ def contains_email(col) -> Column:
     return matches_regex(col, EMAIL_RE)
 
 
-def contains_phone(col) -> Column:
-    """text-phone/.../ContainsPhoneNumber.java (regex approximation; swap in
-    a libphonenumber pandas UDF where the lib is available)."""
-    return matches_regex(col, PHONE_RE)
+def contains_phone(col, *, leniency: str = "valid") -> Column:
+    """text-phone/.../ContainsPhoneNumber.java — US-region number-plan
+    heuristic (see PHONE_*_RE above). ``leniency`` mirrors the reference's
+    Leniency enum subset: 'valid' (default — structural NANP validity,
+    bars local numbers) or 'possible' (length-only; local 7-digit numbers
+    match). Swap in a libphonenumber pandas UDF for metadata-exact
+    semantics where that library is available."""
+    try:
+        pattern = {"valid": PHONE_VALID_RE,
+                   "possible": PHONE_POSSIBLE_RE}[leniency]
+    except KeyError:
+        raise ValueError(
+            f"leniency must be 'valid' or 'possible', got {leniency!r}")
+    return matches_regex(col, pattern)
 
 
 _ACCENT_SRC = "áàâäãåāéèêëēíìîïīóòôöõøōúùûüūýÿñçćžšđÁÀÂÄÃÅĀÉÈÊËĒÍÌÎÏĪÓÒÔÖÕØŌÚÙÛÜŪÝŸÑÇĆŽŠĐ"
@@ -158,14 +186,38 @@ def token_count(col) -> Column:
 
 _APO = "['’`´‘‛]"
 
+# Rule order emulates JFlex priority (the reference lexer is maximal-munch
+# + rule order; an ordered regex alternation is leftmost-first, so the
+# more specific rules sit earlier). Type-only rules (ORDINAL "1st"/"5te",
+# German NUMjaehrige) are omitted: the reference merely re-TYPES a span
+# the WORD rule already yields as a single token, and this engine emits
+# token STRINGS, so they are observationally identical.
 _SHARED_RULES_PRE = [
     r"https?://\S+|www\.\S+",                      # URL
     r"[\w.%+-]+@[\w.-]+\.[A-Za-z]{2,}",            # EMAIL
     r"[@#]\w+",                                    # handle / hashtag
-    r"\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{2,4}",  # DATE
+    # DATE incl. the reference's MM/YY short form (DATE_MMYY)
+    r"\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{2,4}|\d{1,2}/\d{2}",
     r"\d{1,2}:\d{2}(?::\d{2})?",                   # TIME
     r"\d+(?:[.,]\d+)+",                            # NUM with separators
     r"(?:[^\W\d_]\.){2,}[^\W\d_]?",                # ABBREV (U.S., e.g.)
+    # remaining shared JFlex macros (JFlexTokenizerMacros.inc:74-103),
+    # round-3 additions -- each yields ONE WORD token in the reference:
+    r"[^\W\d_]\w*(?:[&@]\w+)+",                    # PNAME (AT&T)
+    r"[Oo]" + _APO + r"\w+",                       # ONAME (O'Brien)
+    r"[Cc]\+\+",                                   # CPP
+    r"[Ee]-\w+",                                   # E_WORD (e-mail)
+    r"\w+\.\w{2,5}",                               # FILENAME (report.pdf)
+    # PHONE ({PHONE_SEGMENT}([-\s]{PHONE_SEGMENT})+, optional country /
+    # (area)); DATE/TIME sit earlier, exactly like the rule order in
+    # JFlexTokenizerDefaultRules.inc
+    r"(?:\+?\d{1,3}[-\s])?(?:\(\d{2,4}\)[-\s]?)?\d{2,5}(?:[-\s]\d{2,5})+",
+    # CJK char-per-token fallback (Han + Kana): NOT in the reference --
+    # its generic lexer globs a whole unspaced CJK sentence into one WORD
+    # ("Japanese tokenization will be quite poor", TokenizerTest.java:13);
+    # one-char-per-ideograph is the standard poor-man's improvement and
+    # must precede WORD, whose \w run would swallow the same span.
+    "[\u3040-\u30ff\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff]",
 ]
 _SHARED_RULES_POST = [
     r"[^\W_]+",                                    # WORD ([:letter:][:digit:] runs)
@@ -174,12 +226,38 @@ _SHARED_RULES_POST = [
     r"[><|}{]?[:;=8B][o^\-]?[)\]D}>(\[{<pPdO3/|*$@][}>\]]?",  # EMOTICON
     r"[?!]+|\.",                                   # sentence punctuation
     _APO,                                          # lone apostrophe
-    r"[^\w\s]",                                    # any other symbol
+    r"[^\w\s]",                                   # any other symbol
 ]
+# English abbreviation list (EnglishAbbrev.inc; the lexer is %caseless so
+# case-insensitive compilation matches the reference) + honorific Ph.D.
+_EN_ABBREV = (
+    "Sept|Jan|Feb|Mar|Apr|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
+    "|Inc|Ext|Corp|Ltd|LLC|Mrs|Mr|Ms|Dr|Sr|Jr|Rep|Sen|St|Etc"
+    "|acc|Adm|Agr|Assn|awt|Cir|defs|Dist|dlvr|Eds|elit|equiv|Esq|Est"
+    "|ibid|Mh|Mich|Minn|Ont|Ow|Pg|Supp|tek|usc|Util|Vt|Wisc|Wyo"
+)
 _EN_RULES = [
     _APO + r"(?:m|ve|d|s|ll|re|tis|twas)(?![^\W_])",  # clitic contractions
     r"n" + _APO + r"t(?![^\W_])",                     # n't
     r"[^\W_]+?(?=n" + _APO + r"t(?![^\W_]))",         # word before n't
+    r"[Pp]h\.[Dd]\.?",                                # Ph.D (EnglishAbbrev)
+    r"(?:" + _EN_ABBREV + r")\.(?![^\W\d_])",         # {abbrev}\.
+    # hyphenated prefix words (JFlexEnglishLexer.jflex {prefix}-{WORD})
+    r"(?:mis|anti|counter|over|under|non|co|meta|multi|pre|off|sub)-\w+",
+]
+# German locale rules (JFlexGermanLexer.jflex + GermanAbbrev.inc): the
+# abbreviation lists and the {APOSTROPHE}s/\W genitive clitic; longer
+# alternatives listed before their prefixes (Jhd before Jh).
+_DE_ABBREV = (
+    "Abg|Abk|abs|allg|anl|Bj|bspw|bzgl|Bzw|Coll|CORP|dict|Dkfm|Doz|Dra"
+    "|Dt|dtsch|Eff|ehem|Eidg|Einf|engl|erm|Erw|Feat|Fig|Ggf|ggfs|gg\u00fc"
+    "|grm|Gr|Hr|ibm|ifun|iHv|inkl|incl|Inh|insb|ital|jur|iur|Jg|Jhd|Jhr"
+    "|Jh|Kfm|mtl|Prof|resp|StD|Stpfl|Str|stv|techn|tgl|univ|wko|Wr|Zt"
+    "|Zwtl|Fr|Dr|St|Krh|Tel|ca|vgl|bzw|etc"
+)
+_DE_RULES = [
+    r"(?:" + _DE_ABBREV + r")\.(?![^\W\d_])",         # {abbrev}\.
+    _APO + r"s(?![^\W_])",                            # genitive 's clitic
 ]
 
 _TOKENIZER_CACHE: dict = {}
@@ -192,7 +270,7 @@ def _locale_pattern(locale: str):
     lang = (locale or "en").split("-")[0].split("_")[0].lower()
     pat = _TOKENIZER_CACHE.get(lang)
     if pat is None:
-        extra = _EN_RULES if lang == "en" else []
+        extra = {"en": _EN_RULES, "de": _DE_RULES}.get(lang, [])
         rules = _SHARED_RULES_PRE + extra + _SHARED_RULES_POST
         pat = re.compile("|".join(f"(?:{r})" for r in rules),
                          re.IGNORECASE | re.UNICODE)

@@ -427,3 +427,30 @@ def test_densify_nondeterministic_upstream(spark):
     assert len(out) == 200
     for r in out:
         assert list(r["d"].values()) == [float(r["i"]) + 0.5], r
+
+
+def test_contains_phone_reference_golden(spark):
+    """Translation of text-phone's ContainsPhoneNumberTest.java: the
+    POSSIBLE-leniency assertions verbatim, plus the VALID default barring
+    the local (area-code-less) forms exactly as the reference's
+    withLeniency docstring describes."""
+    from dagli_spark.functions.text import contains_phone
+
+    cases = [
+        ("My number is 442-253-2131, okay?", True, True),
+        ("My number is (442)253-2131, okay?", True, True),
+        ("My number is 253-2131, okay?", True, False),   # local: VALID bars
+        ("My number is 2532131, okay?", True, False),     # local: VALID bars
+        ("I'm 234 years old", False, False),
+        ("The cost is $500,000/year", False, False),
+        ("The cost is $500000 per year", False, False),
+        ("I have 50000 of them sitting in stock", False, False),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in cases], "t string")
+    rows = df.select(
+        contains_phone("t", leniency="possible").alias("p"),
+        contains_phone("t").alias("v"),
+    ).collect()
+    for (t, want_p, want_v), r in zip(cases, rows):
+        assert r["p"] == want_p, (t, "possible")
+        assert r["v"] == want_v, (t, "valid")

@@ -194,8 +194,10 @@ def test_accentless_and_unicode_norm(spark):
 
 
 def test_replaced_substrings_and_phone(spark):
+    # (442) 253-2131 is the reference test's number — structurally valid
+    # NANP, so it passes the default 'valid' leniency
     df = spark.createDataFrame(
-        [("call +1 (555) 123-4567 now", "foo bar")], "a string, b string")
+        [("call +1 (442) 253-2131 now", "foo bar")], "a string, b string")
     r = df.select(
         replaced_substrings("b", {"foo": "X", "bar": "Y"}).alias("rb"),
         contains_phone("a").alias("ph"),

@@ -45,6 +45,8 @@ GRID = [
     "text_normalize", "many_hot", "grouped_multiplicity",
     "null_filtered_normalized", "dist_sample", "ngram_padding",
     "minhash_portable", "simhash_portable",
+    # round-3 addition
+    "phone_plan",
 ]
 
 

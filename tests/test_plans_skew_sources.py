@@ -260,3 +260,38 @@ def test_minhash_no_persisted_cache(spark, sf_dir):
     assert "ReusedExchange" in plan  # banding subtree evaluated once
     jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
     assert jmap.isEmpty(), "minhash left persisted RDDs behind"
+
+
+def test_iceberg_catalog_real_table(spark, sf_dir, tmp_path):
+    """Real-catalog exercise of write_table/read_table (round-3 verdict #7):
+    runs end-to-end — runtime catalog registration, hidden-partitioned
+    write, table read, snapshot time-travel — whenever an Iceberg runtime
+    jar is on the classpath; explicit skip otherwise (this sandbox ships
+    none and has no network to fetch one, so only the parquet-fallback
+    twin tests above execute here)."""
+    import pytest as _pytest
+
+    from dagli_spark.sources.iceberg import (
+        catalog_conf, iceberg_available, read_table, write_table,
+    )
+
+    if not iceberg_available(spark):
+        _pytest.skip(
+            "no Iceberg runtime jar on the JVM classpath (sandbox has no "
+            "network; jar cannot be fetched offline) — catalog path covered "
+            "only by the parquet-fallback tests; enable via spark-submit "
+            "--packages org.apache.iceberg:iceberg-spark-runtime-*")
+
+    for k, v in catalog_conf("lakeci", str(tmp_path / "wh")).items():
+        spark.conf.set(k, v)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(50)
+    ident = write_table(ev, "lakeci.feat.events_ci",
+                        partition_by=["bucket(4, user_id)"])
+    assert ident == "lakeci.feat.events_ci"
+    back = read_table(spark, ident)
+    assert back.count() == 50
+    snaps = spark.sql(
+        "SELECT snapshot_id FROM lakeci.feat.events_ci.snapshots").collect()
+    assert len(snaps) >= 1
+    at = read_table(spark, ident, snapshot_id=int(snaps[0]["snapshot_id"]))
+    assert at.count() == 50

@@ -189,8 +189,14 @@ def test_phone_regex_dates_and_short_runs_not_phones(spark):
     df = spark.createDataFrame(
         [("released 2026-08-17",), ("see 12345 units",),
          ("call 123-4567",), ("+1 (555) 123-4567 ext 22",)], "t string")
-    got = [r[0] for r in df.select(contains_phone("t")).collect()]
-    assert got == [False, False, True, True]
+    # default leniency 'valid' bars local numbers AND numbers whose
+    # exchange code starts with 0/1 (NANP structure) — the last two rows
+    # only pass the length-only 'possible' check
+    valid = [r[0] for r in df.select(contains_phone("t")).collect()]
+    assert valid == [False, False, False, False]
+    poss = [r[0] for r in
+            df.select(contains_phone("t", leniency="possible")).collect()]
+    assert poss == [False, False, True, True]
 
 
 def test_ngrams_null_text_propagates_null(spark):

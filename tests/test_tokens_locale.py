@@ -56,3 +56,49 @@ def test_accent_folded(spark):
     rows = df.select(accent_folded("t").alias("x")).collect()
     assert rows[0]["x"] == "eleve Ca-nono ZUPER Straße"  # ß has no mark
     assert rows[1]["x"] is None
+
+
+def test_golden_shared_macro_rules():
+    """Round-3 parity deepening: the remaining shared JFlex macros
+    (JFlexTokenizerMacros.inc PNAME/ONAME/CPP/E_WORD/FILENAME/PHONE) each
+    yield one WORD token."""
+    assert tokenize_text("AT&T and O'Brien", "en") == \
+        ["AT&T", "and", "O'Brien"]
+    assert tokenize_text("see report.pdf and C++ code", "en") == \
+        ["see", "report.pdf", "and", "C++", "code"]
+    assert tokenize_text("send e-mail today", "en") == \
+        ["send", "e-mail", "today"]
+    # PHONE after DATE/TIME, exactly the rule order of
+    # JFlexTokenizerDefaultRules.inc
+    assert tokenize_text("call 442-253-2131 at 3:45 on 2024-01-02", "en") == \
+        ["call", "442-253-2131", "at", "3:45", "on", "2024-01-02"]
+
+
+def test_golden_english_abbrev_and_prefix():
+    """EnglishAbbrev.inc list + JFlexEnglishLexer {prefix}-{WORD}."""
+    assert tokenize_text("Dr. Smith of Acme Inc. left", "en") == \
+        ["Dr.", "Smith", "of", "Acme", "Inc.", "left"]
+    assert tokenize_text("anti-virus is non-trivial", "en") == \
+        ["anti-virus", "is", "non-trivial"]
+    # abbrev needs the trailing dot — plain 'Dr' stays a WORD
+    assert tokenize_text("Dr who", "en") == ["Dr", "who"]
+
+
+def test_golden_german_rules():
+    """JFlexGermanLexer: abbrev lists (Hr./bzw./GermanAbbrev corpus) and
+    the {APOSTROPHE}s genitive clitic; English clitics must NOT fire."""
+    assert tokenize_text("Hr. Meier bzw. Dr. Weber", "de") == \
+        ["Hr.", "Meier", "bzw.", "Dr.", "Weber"]
+    assert tokenize_text("Peter’s Haus", "de") == ["Peter", "’s", "Haus"]
+    assert tokenize_text("insb. die Str. 5", "de") == \
+        ["insb.", "die", "Str.", "5"]
+
+
+def test_golden_cjk_char_fallback():
+    """CJK (Han + Kana) falls back to one token per ideograph instead of
+    globbing an unspaced sentence into one WORD (improvement over the
+    reference's generic lexer, which TokenizerTest.java:13 itself calls
+    'quite poor' on Japanese); Latin runs inside CJK text stay words."""
+    assert tokenize_text("日本語です", "ja") == ["日", "本", "語", "で", "す"]
+    assert tokenize_text("漢字 and kana カナ", "zh") == \
+        ["漢", "字", "and", "kana", "カ", "ナ"]
