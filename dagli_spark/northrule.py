@@ -85,8 +85,6 @@ def event_features(events: DataFrame, images: DataFrame,
         "epoch_s",
         F.floor(F.unix_micros(F.col("event_time").cast("timestamp")) / 1_000_000),
     )
-    w_range = wf.spec("entity_id", ["epoch_s"])
-    out = wf.rolling(out, {"cnt_1h": F.count(F.lit(1))}, w_range, range_=(-3600, 0))
     out = wf.sessionize(out, "event_time", F.expr("INTERVAL 30 MINUTES"), w)
     out = out.withColumn(
         "secs_since_prev",
@@ -95,6 +93,14 @@ def event_features(events: DataFrame, images: DataFrame,
             F.lit(-1.0),
         ),
     )
+    # The one differently-ordered window comes LAST: every (event_time,
+    # eseq)-ordered window above shares a single sort, and cnt_1h's
+    # (epoch_s)-ordered range frame adds exactly one more — interleaving it
+    # mid-chain (as round 2 did) made the planner re-sort the full event
+    # table a THIRD time (2 sorts total now, pinned by
+    # tests/test_images_northrule.py).
+    w_range = wf.spec("entity_id", ["epoch_s"])
+    out = wf.rolling(out, {"cnt_1h": F.count(F.lit(1))}, w_range, range_=(-3600, 0))
     return out
 
 

@@ -21,6 +21,7 @@ from dagli_spark.images.phash import hamming64_np, phash64, phash_to_vector
 from dagli_spark.northrule import (
     FEATURE_NAMES,
     build_features,
+    event_features,
     leakage_audit,
 )
 
@@ -219,3 +220,20 @@ def test_bucketed_path_matches(spark, paths):
     ra = sorted(str(r) for r in a.select(*cols).collect())
     rb = sorted(str(r) for r in b.select(*cols).collect())
     assert ra == rb
+
+
+def test_event_features_two_sorts_one_exchange(spark, paths):
+    """Stage-shape pin (round-3 scaling work): the windowed-feature pass
+    sorts the event table exactly TWICE — once for every (event_time,
+    eseq)-ordered window (lag/rolling/session/secs share it) and once for
+    the epoch_s range frame (cnt_1h) — behind ONE entity exchange.
+    Interleaving the range window mid-chain regresses this to 3 sorts."""
+    import re
+
+    ev = spark.read.parquet(paths["image_events"])
+    im = spark.read.parquet(paths["images"])
+    df = event_features(ev, im, with_pixels=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    sorts = [l for l in plan.splitlines() if re.match(r"[\s:+-]*\+- Sort ", l)]
+    assert len(sorts) == 2, sorts
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
