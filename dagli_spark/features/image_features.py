@@ -119,18 +119,31 @@ def _features_batch(datas: "pd.Series") -> list[tuple]:
             stack = np.stack([arrs[i] for i in idxs])    # (B, H, W, 3) uint8
             _b, hh, ww, _ = stack.shape
             npx = hh * ww * 3
-            sums = stack.sum(axis=(1, 2), dtype=np.float64)   # (B, 3) exact
+            # channel-first contiguous copy: the stride-3 channel axis makes
+            # direct reductions over (B,H,W,3) 10-15x slower than the same
+            # math over (B,3,H,W) planes (no SIMD across a strided axis) —
+            # one extra 1x uint8 copy buys ~3x on the whole stat block.
+            # Every reduction below is still an exact-integer sum in a
+            # float64/int16 accumulator, so results stay bit-identical to
+            # the (B,H,W,3) formulation regardless of summation order.
+            cf = np.ascontiguousarray(stack.transpose(0, 3, 1, 2))
+            sums = cf.reshape(len(idxs), 3, -1).sum(
+                axis=2, dtype=np.float64)                     # (B, 3) exact
             means = sums / (hh * ww)
             mean_all = sums.sum(axis=1) / npx
-            s2 = np.einsum("bhwc,bhwc->b", stack, stack,
+            s2 = np.einsum("bchw,bchw->b", cf, cf,
                            dtype=np.float64)                  # exact
             std = np.sqrt(np.maximum(s2 / npx - mean_all * mean_all, 0.0))
             bright = means.mean(axis=1)
-            gray3 = stack.sum(axis=3, dtype=np.int16)         # exact 3x gray
-            gx = (np.abs(np.diff(gray3, axis=2))
-                  .mean(axis=(1, 2), dtype=np.float64) / 3.0)
-            gy = (np.abs(np.diff(gray3, axis=1))
-                  .mean(axis=(1, 2), dtype=np.float64) / 3.0)
+            gray3 = cf[:, 0].astype(np.int16)                 # exact 3x gray
+            gray3 += cf[:, 1]
+            gray3 += cf[:, 2]
+            dx = gray3[:, :, 1:] - gray3[:, :, :-1]           # |d| <= 765
+            np.abs(dx, out=dx)
+            gx = dx.mean(axis=(1, 2), dtype=np.float64) / 3.0
+            dy = gray3[:, 1:, :] - gray3[:, :-1, :]
+            np.abs(dy, out=dy)
+            gy = dy.mean(axis=(1, 2), dtype=np.float64) / 3.0
             hashes = phash64_stack(stack, gray3=gray3)
             for j, i in enumerate(idxs):
                 out[i] = (

@@ -80,6 +80,11 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     stride = 1 + w * 3
     raw = raw.reshape(h, stride)
+    if not raw[:, 0].any():
+        # all scanlines filter 0 (what encode_png writes): one strided copy
+        # instead of h Python-level row iterations — 4-5x faster decode,
+        # and decode is half the Python-stage cost of the image pipeline
+        return np.ascontiguousarray(raw[:, 1:]).reshape(h, w, 3)
     out = np.zeros((h, w * 3), dtype=np.uint8)
     bpp = 3
     for y in range(h):
@@ -132,8 +137,12 @@ def decode_qjpg(data: bytes) -> np.ndarray:
     w, h, quality, c = struct.unpack(">IIBB", data[4:14])
     step = _quant_step(quality)
     q = np.frombuffer(zlib.decompress(data[14:]), dtype=np.uint8)
-    arr = np.clip(q.astype(np.int32) * step, 0, 255).astype(np.uint8)
-    return arr.reshape(h, w, c)
+    # uint16 in-place dequantize (q*step <= 10200 fits; 4x less transient
+    # traffic than the equivalent int32 clip) — bit-identical output
+    x = q.astype(np.uint16)
+    x *= np.uint16(step)
+    np.minimum(x, 255, out=x)
+    return x.astype(np.uint8).reshape(h, w, c)
 
 
 # ------------------------------------------------------------- unified API

@@ -40,6 +40,72 @@ def test_png_roundtrip_exact():
         assert np.array_equal(decode_png(encode_png(a)), a)
 
 
+def test_png_nonzero_filters_still_decode():
+    """decode_png's vectorized path only covers all-filter-0 files (what
+    encode_png writes); foreign PNGs using Sub/Up/Average/Paeth per
+    scanline must still decode exactly via the general row loop."""
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(13)
+    a = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+    flat = a.reshape(5, 21).astype(np.int32)
+
+    def paeth(l, u, ul):
+        p = l + u - ul
+        pa, pb, pc = abs(p - l), abs(p - u), abs(p - ul)
+        return l if (pa <= pb and pa <= pc) else (u if pb <= pc else ul)
+
+    raw = bytearray()
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        raw.append(f)
+        for x in range(21):
+            cur = int(flat[y, x])
+            left = int(flat[y, x - 3]) if x >= 3 else 0
+            up = int(flat[y - 1, x]) if y else 0
+            upl = int(flat[y - 1, x - 3]) if (y and x >= 3) else 0
+            if f == 0:
+                raw.append(cur)
+            elif f == 1:
+                raw.append((cur - left) & 0xFF)
+            elif f == 2:
+                raw.append((cur - up) & 0xFF)
+            elif f == 3:
+                raw.append((cur - ((left + up) >> 1)) & 0xFF)
+            else:
+                raw.append((cur - paeth(left, up, upl)) & 0xFF)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), a)
+
+
+def test_batch_features_bit_match_single():
+    """_features_batch (channel-first batched kernels) is bit-identical to
+    the single-image oracle _decode_one across mixed shapes, formats, nulls
+    and corrupt payloads — the exact-integer-reduction contract."""
+    from dagli_spark.features.image_features import _decode_one, _features_batch
+
+    rng = np.random.RandomState(5)
+    blobs = []
+    for shape in [(32, 32, 3), (64, 32, 3), (128, 128, 3), (32, 32, 3)]:
+        arr = rng.randint(0, 256, shape, dtype=np.uint8)
+        blobs.append(encode_png(arr))
+        blobs.append(encode_qjpg(arr, 90))
+    blobs.append(None)
+    blobs.append(b"garbage-not-an-image")
+    got = _features_batch(pd.Series(blobs))
+    for blob, row in zip(blobs, got):
+        single = _decode_one(blob) if blob is not None else (None,) * 7
+        assert row == single, (row, single)
+
+
 def test_qjpg_psnr_gate():
     """input_hint: PSNR >= 40 dB for the lossy path at q90."""
     rng = np.random.RandomState(11)
