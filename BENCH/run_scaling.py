@@ -36,12 +36,22 @@ spark = get_spark("scaling", master="local[{cores}]")
 spark.sparkContext.setLogLevel("ERROR")
 paths = materialize(spark, {scale!r})
 run(spark, materialize(spark, "smoke")).write.format("noop").mode("overwrite").save()
+# steady state, not JIT warmup, is the measured quantity: the JVM tiers
+# the generated window/sort/join code up to C2 over the first executions
+# (sf0.1/32 warmup curve: 38 s -> 21 s -> 5.2 s -> 5.3 s), and the warmup
+# tail differs BY PARALLELISM LEVEL (at local[8] every core runs 4x more
+# tasks per pass, so C2 warms in fewer passes than at local[32]) — a
+# fixed best-of-2 therefore biases the N-vs-4N efficiency ratio itself.
+# Rerun until a pass stops improving the best by >10% (max 5 passes).
 best = None
-for i in range(2):
+for i in range(5):
     t0 = time.time()
     run(spark, paths).write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
+    improved = best is None or dt < best * 0.9
     best = dt if best is None else min(best, dt)
+    if not improved:
+        break
 print(json.dumps({{"cores": {cores}, "sec": round(best, 3),
                   "queries": SCALES[{scale!r}][3],
                   "fv_per_sec": round(SCALES[{scale!r}][3] / best, 1)}}))

@@ -104,14 +104,25 @@ def main() -> None:
     for name in names:
         t0 = time.time()
         if name == "northrule_features":
-            # steady-state fv/sec is the headline metric (same best-of-2
-            # protocol as BENCH/run_scaling.py); the cold first execution
-            # (JIT + first-scan effects) is reported separately
+            # steady-state fv/sec is the headline metric; the cold first
+            # execution (JIT + first-scan effects) is reported separately.
+            # The JVM tiers whole-stage-codegen up to C2 over the first few
+            # executions (measured warmup curve at sf0.1/32: 38 s -> 21 s ->
+            # 5.2 s -> 5.3 s), so a fixed best-of-2 reports a half-warmed
+            # number — rerun until a pass stops improving the best by >10%
+            # (max 4 total), same protocol as BENCH/run_scaling.py
             _noop_write(northrule_run(spark, paths))
             northrule_cold_sec = round(time.time() - t0, 3)
-            t1 = time.time()
-            _noop_write(northrule_run(spark, paths))
-            dt = min(northrule_cold_sec, time.time() - t1)
+            best = northrule_cold_sec
+            for _ in range(3):
+                t1 = time.time()
+                _noop_write(northrule_run(spark, paths))
+                dt_i = time.time() - t1
+                improved = dt_i < best * 0.9
+                best = min(best, dt_i)
+                if not improved:
+                    break
+            dt = best
             fv_per_sec = round(n_queries / dt, 1)
         else:
             _noop_write(qmap[name](spark, sf_dir))

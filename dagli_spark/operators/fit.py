@@ -411,11 +411,36 @@ class BucketModel:
 
     def apply(self, df: DataFrame, *, out: str | None = None) -> DataFrame:
         out = out or f"{self.col}_bucket"
-        expr = F.lit(len(self.boundaries))  # default: last bucket
-        for i in range(len(self.boundaries) - 1, -1, -1):
-            expr = F.when(F.col(self.col) <= F.lit(self.boundaries[i]), F.lit(i)) \
-                .otherwise(expr)
-        return df.withColumn(out, expr)
+        if len(self.boundaries) <= 64:
+            # small k: a codegen'd when-chain stays JVM-side (no Python
+            # round trip) and compiles instantly
+            expr = F.lit(len(self.boundaries))  # default: last bucket
+            for i in range(len(self.boundaries) - 1, -1, -1):
+                expr = F.when(F.col(self.col) <= F.lit(self.boundaries[i]),
+                              F.lit(i)).otherwise(expr)
+            return df.withColumn(out, expr)
+        # large k: the when-chain's plan/codegen size grows O(k) — switch to
+        # the broadcast-boundaries + np.searchsorted Arrow UDF shape used by
+        # RankModel.apply (plan stays O(1) in k). Same semantics: smallest i
+        # with probe <= boundaries[i], clamped to the last bucket; null
+        # probes fall through every when() above, i.e. last bucket.
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import IntegerType
+
+        bounds = np.asarray(self.boundaries, dtype=np.float64)
+        bc = df.sparkSession.sparkContext.broadcast(bounds)
+        k_last = len(self.boundaries)
+
+        @pandas_udf(IntegerType())
+        def _bucket(s: pd.Series) -> pd.Series:
+            b = bc.value
+            null_mask = s.isna().to_numpy()
+            x = s.astype("float64").fillna(0.0).to_numpy()
+            r = np.searchsorted(b, x, side="left").astype(np.int32)
+            r[null_mask] = k_last
+            return pd.Series(r)
+
+        return df.withColumn(out, _bucket(F.col(self.col).cast("double")))
 
 
 def fit_bucket_index(df: DataFrame, col: str, k: int, *,

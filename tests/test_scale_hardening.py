@@ -97,6 +97,34 @@ def test_bucket_index_continuous_prebins(spark):
     assert time.time() - t0 < 180
 
 
+def test_bucket_apply_large_k_matches_when_chain(spark):
+    """BucketModel.apply switches from a when-chain to the broadcast +
+    searchsorted Arrow UDF above k=64 (plan O(1) in k); both paths must
+    agree on every probe, including exact-boundary hits, out-of-range
+    probes and nulls (null -> last bucket, the when-chain fallthrough)."""
+    from dagli_spark.operators.fit import BucketModel
+
+    bounds = [float(i) for i in range(0, 400, 2)]  # k-1 = 200 boundaries
+    big = BucketModel("v", bounds)
+    small = BucketModel("v", bounds[:50])
+    probes = ([None, -5.0, 0.0, 1.0, 2.0, 398.0, 399.0, 1e9]
+              + [float(x) for x in range(-3, 405, 7)])
+    df = spark.createDataFrame([(p,) for p in probes], "v double")
+    got = {r["v"]: r["b"] for r in big.apply(df, out="b").collect()}
+    # oracle: the when-chain semantics, computed in python
+    for p in probes:
+        if p is None:
+            exp = len(bounds)
+        else:
+            exp = next((i for i, b in enumerate(bounds) if p <= b),
+                       len(bounds))
+        assert got[p] == exp, (p, got[p], exp)
+    # small-k stays a pure-JVM plan (no Arrow batch eval)
+    plan = small.apply(df, out="b")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+
+
 def test_kmeans_apply_1024_centroids_plan_sane(spark):
     dim, k = 16, 1024
     rng = [[float(((i * 31 + j * 17) % 101) - 50) for j in range(dim)]
