@@ -42,17 +42,24 @@ run(spark, materialize(spark, "smoke")).write.format("noop").mode("overwrite").s
 # tail differs BY PARALLELISM LEVEL (at local[8] every core runs 4x more
 # tasks per pass, so C2 warms in fewer passes than at local[32]) — a
 # fixed best-of-2 therefore biases the N-vs-4N efficiency ratio itself.
-# Rerun until a pass stops improving the best by >10% (max 5 passes).
+# A FIXED 4 passes per level, best counts: an improvement-threshold early
+# stop samples different points of the C2 warmup curve at different core
+# counts (at 2 cores a pass runs 16x more tasks/core than at 32, so the
+# curve flattens in fewer passes) and that asymmetry leaks into the
+# N-vs-4N ratio. All pass times are recorded: on this shared host an
+# external tenant can double a single pass (measured 11-97 s for identical
+# code+input within minutes), so a level whose passes never stabilize is
+# visibly noisy.
 best = None
-for i in range(5):
+passes = []
+for i in range(4):
     t0 = time.time()
     run(spark, paths).write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
-    improved = best is None or dt < best * 0.9
+    passes.append(round(dt, 2))
     best = dt if best is None else min(best, dt)
-    if not improved:
-        break
 print(json.dumps({{"cores": {cores}, "sec": round(best, 3),
+                  "passes": passes,
                   "queries": SCALES[{scale!r}][3],
                   "fv_per_sec": round(SCALES[{scale!r}][3] / best, 1)}}))
 """

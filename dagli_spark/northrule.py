@@ -27,7 +27,7 @@ KFoldCrossTrained anti-leakage contract
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dagli_spark.features.image_features import (
@@ -58,22 +58,19 @@ def image_stats(events: DataFrame, images: DataFrame) -> DataFrame:
     return with_decode_features(to_decode, "bytes").drop("bytes")
 
 
-def event_features(events: DataFrame, images: DataFrame,
-                   *, with_pixels: bool = True) -> DataFrame:
-    """Steps 1-2: per-event windowed features. With ``with_pixels`` the
-    per-image decode stats ride along from the start (computed once per
-    distinct image), so the whole pipeline is a single forward pass."""
-    if with_pixels:
-        dim = image_stats(events, images)
-    else:
-        dim = images.select("image_id", "phash")  # narrow -> prunable
-    # LEFT join: an event whose image is missing/late must NOT silently
-    # vanish — dropping it would shift every downstream lag/session/count
-    # feature for its neighbors; unresolved rows just get null phash/pixel
-    # stats (hamming_prev already coalesces null -> -1)
-    ev = events.join(dim, "image_id", "left")
-    w = wf.spec("entity_id", ["event_time", "eseq"])
-    out = wf.with_lag(ev, "label", 1, w, alias="label_lag1")
+_SESSION_GAP = "INTERVAL 30 MINUTES"
+_RANGE_LOOKBACK_S = 3600  # cnt_1h trailing window; also the carry horizon
+
+
+def _window_block(df: DataFrame, pkeys: list[str]):
+    """The shared per-entity feature block over partition keys ``pkeys``
+    (``["entity_id"]`` for the plain path, ``["entity_id", "__b"]`` for the
+    hot-entity bucketed path) — ONE definition so the two paths cannot
+    drift. Emits ``__is_new`` (session-start flag) instead of a finished
+    session id: the two paths turn it into session_id differently (plain
+    cumulative sum vs per-bucket sum + stitched offsets)."""
+    w = wf.spec(pkeys, ["event_time", "eseq"])
+    out = wf.with_lag(df, "label", 1, w, alias="label_lag1")
     out = out.withColumn("phash_prev", F.lag("phash").over(w))
     out = out.withColumn(
         "hamming_prev",
@@ -85,7 +82,13 @@ def event_features(events: DataFrame, images: DataFrame,
         "epoch_s",
         F.floor(F.unix_micros(F.col("event_time").cast("timestamp")) / 1_000_000),
     )
-    out = wf.sessionize(out, "event_time", F.expr("INTERVAL 30 MINUTES"), w)
+    prev_t = F.lag("event_time").over(w)
+    out = out.withColumn(
+        "__is_new",
+        F.when(prev_t.isNull()
+               | (F.col("event_time") > prev_t + F.expr(_SESSION_GAP)), 1)
+        .otherwise(0),
+    )
     out = out.withColumn(
         "secs_since_prev",
         F.coalesce(
@@ -93,6 +96,14 @@ def event_features(events: DataFrame, images: DataFrame,
             F.lit(-1.0),
         ),
     )
+    return out, w
+
+
+def _plain_event_windows(ev: DataFrame) -> DataFrame:
+    out, w = _window_block(ev, ["entity_id"])
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = out.withColumn("session_id", F.sum("__is_new").over(cum) - 1) \
+        .drop("__is_new")
     # The one differently-ordered window comes LAST: every (event_time,
     # eseq)-ordered window above shares a single sort, and cnt_1h's
     # (epoch_s)-ordered range frame adds exactly one more — interleaving it
@@ -100,8 +111,184 @@ def event_features(events: DataFrame, images: DataFrame,
     # table a THIRD time (2 sorts total now, pinned by
     # tests/test_images_northrule.py).
     w_range = wf.spec("entity_id", ["epoch_s"])
-    out = wf.rolling(out, {"cnt_1h": F.count(F.lit(1))}, w_range, range_=(-3600, 0))
-    return out
+    return wf.rolling(out, {"cnt_1h": F.count(F.lit(1))}, w_range,
+                      range_=(-_RANGE_LOOKBACK_S, 0))
+
+
+def _hot_carry_rows(events: DataFrame, is_hot, width_us: int, *,
+                    last_n: int, with_horizon: bool) -> DataFrame:
+    """Carry-in rows for the bucketed window path: each hot-entity bucket's
+    tail, re-addressed to the entity's NEXT NON-EMPTY bucket. The tail is
+    the last ``last_n`` rows by position plus (``with_horizon``) everything
+    inside the destination bucket's ``_RANGE_LOOKBACK_S`` horizon. Derived
+    from the RAW events (narrow pruned scan) — never from the image-joined
+    frame, so the decode stage is not re-evaluated per consumer."""
+    us = F.unix_micros(F.col("event_time").cast("timestamp"))
+    e = events.where(is_hot).withColumn("__b", F.floor(us / width_us))
+    tb = e.select("entity_id", "__b").distinct()
+    w_ent = Window.partitionBy("entity_id").orderBy("__b")
+    carry_map = (
+        tb.withColumn("__src", F.lag("__b").over(w_ent))
+        .where(F.col("__src").isNotNull())
+        .select("entity_id", F.col("__src").alias("__b"),
+                F.col("__b").alias("__dst"))
+    )
+    w_desc = Window.partitionBy("entity_id", "__b").orderBy(
+        F.col("event_time").desc(), F.col("eseq").desc())
+    cond = F.col("__rnd") <= last_n
+    if with_horizon:
+        dst_start_s = (F.col("__dst") * width_us / 1_000_000).cast("long")
+        cond = cond | (F.floor(us / 1_000_000)
+                       >= dst_start_s - _RANGE_LOOKBACK_S)
+    return (
+        e.withColumn("__rnd", F.row_number().over(w_desc))
+        .join(F.broadcast(carry_map), ["entity_id", "__b"])
+        .where(cond)
+        .drop("__b", "__rnd").withColumnRenamed("__dst", "__b")
+        .withColumn("__carry", F.lit(True))
+    )
+
+
+def _session_offsets(events: DataFrame, is_hot, width_us: int) -> DataFrame:
+    """Per-(hot entity, bucket) EXCLUSIVE running session-start counts —
+    the cross-bucket stitch for the session-id cumulative sum. Computed on
+    a narrow pruned scan of the raw events (entity/time/eseq only): using
+    the image-joined window output here would re-evaluate the decode stage
+    for a tiny aggregate. Carry = last 1 row (is_new needs only lag-1)."""
+    us = F.unix_micros(F.col("event_time").cast("timestamp"))
+    slim = events.select("entity_id", "event_time", "eseq").where(is_hot)
+    own = slim.withColumn("__b", F.floor(us / width_us)) \
+        .withColumn("__carry", F.lit(False))
+    carry = _hot_carry_rows(slim, F.lit(True), width_us,
+                            last_n=1, with_horizon=False)
+    u = own.unionByName(carry.select(*own.columns))
+    w = wf.spec(["entity_id", "__b"], ["event_time", "eseq"])
+    prev_t = F.lag("event_time").over(w)
+    is_new = F.when(prev_t.isNull()
+                    | (F.col("event_time") > prev_t + F.expr(_SESSION_GAP)), 1) \
+        .otherwise(0)
+    starts = (
+        u.withColumn("__is_new", is_new)
+        .where(~F.col("__carry"))
+        .groupBy("entity_id", "__b").agg(F.sum("__is_new").alias("__starts"))
+    )
+    w_off = (Window.partitionBy("entity_id").orderBy("__b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    return starts.withColumn(
+        "__off", F.coalesce(F.sum("__starts").over(w_off), F.lit(0))
+    ).select("entity_id", "__b", "__off")
+
+
+def _bucketed_event_windows(events: DataFrame, dim: DataFrame,
+                            hot_ids: list, width_us: int) -> DataFrame:
+    """Windowed features with hot entities time-bucketed: the window-
+    function analogue of the as-of join's hot-entity path (operators/
+    asof.py, time_buckets).
+
+    A window partitioned by entity alone puts a hot entity's entire
+    history in ONE task (AQE can split skewed joins, not skewed window
+    partitions — SURVEY.md §4.3); at the scale tier the fixture's hot
+    entities make the window stage a measured 7x straggler tail. Here
+    EVERY entity goes through ONE window pass partitioned by
+    (entity, __b): cold entities get the constant bucket 0 (bit-identical
+    work to the plain path), hot entities split into time buckets with
+    carry-in tails (last 4 rows for lag1/5-row rolling + the trailing
+    ``_RANGE_LOOKBACK_S`` seconds for the cnt_1h range frame, which also
+    covers the 30-min session gap), so every bounded-lookback feature
+    reproduces the global window EXACTLY. The one unbounded feature — the
+    session-id cumulative sum — stitches across buckets via broadcast
+    per-bucket offsets (:func:`_session_offsets`). The fat image/decode
+    dimension is joined exactly ONCE, after the carry union: carry rows
+    and offsets derive from narrow scans of the raw events.
+
+    ``width_us`` must be a whole-second multiple >= 2x the range lookback
+    so cross-bucket range frames never reach past one carry hop."""
+    assert (width_us % 1_000_000 == 0
+            and width_us >= 2 * _RANGE_LOOKBACK_S * 1_000_000)
+    is_hot = F.col("entity_id").isin(hot_ids)
+    us = F.unix_micros(F.col("event_time").cast("timestamp"))
+    own = events.withColumn(
+        "__b", F.when(is_hot, F.floor(us / width_us)).otherwise(F.lit(0))
+    ).withColumn("__carry", F.lit(False))
+    carry = _hot_carry_rows(events, is_hot, width_us,
+                            last_n=4, with_horizon=True)
+    u = own.unionByName(carry.select(*own.columns))
+    ev = u.join(dim, "image_id", "left")  # the ONE image/decode join
+
+    out, w = _window_block(ev, ["entity_id", "__b"])
+    own_start = F.when(~F.col("__carry"), F.col("__is_new")).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = out.withColumn("__sess_local", F.sum(own_start).over(cum))
+    w_range = wf.spec(["entity_id", "__b"], ["epoch_s"])
+    out = wf.rolling(out, {"cnt_1h": F.count(F.lit(1))}, w_range,
+                     range_=(-_RANGE_LOOKBACK_S, 0))
+    out = out.where(~F.col("__carry"))
+    offsets = _session_offsets(events, is_hot, width_us)
+    out = out.join(F.broadcast(offsets), ["entity_id", "__b"], "left")
+    out = out.withColumn(
+        "session_id",
+        (F.coalesce(F.col("__off"), F.lit(0)) + F.col("__sess_local") - 1))
+    return out.drop("__is_new", "__sess_local", "__off", "__b", "__carry")
+
+
+def detect_hot_entities(events: DataFrame, min_rows: int, *,
+                        top: int = 64) -> list:
+    """Entities whose event count makes a single window partition a
+    straggler (the fixture's hot entities own ~5% of all events each at
+    the scale tier). One column-pruned aggregate; returns at most ``top``
+    ids with their counts and time spans (driver-side, tiny)."""
+    t = F.unix_micros(F.col("event_time").cast("timestamp"))
+    return (
+        events.groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.min(t).alias("mn"), F.max(t).alias("mx"))
+        .where(F.col("cnt") >= min_rows)
+        .orderBy(F.col("cnt").desc()).limit(top)
+        .collect()
+    )
+
+
+def event_features(events: DataFrame, images: DataFrame,
+                   *, with_pixels: bool = True,
+                   hot_min_rows: int | None = 500_000,
+                   hot_target_rows: int = 65_536) -> DataFrame:
+    """Steps 1-2: per-event windowed features. With ``with_pixels`` the
+    per-image decode stats ride along from the start (computed once per
+    distinct image), so the whole pipeline is a single forward pass.
+
+    Skew: entities with >= ``hot_min_rows`` events (detected by one cheap
+    aggregate; ``None`` disables) are routed through the time-bucketed
+    two-phase window path (:func:`_bucketed_event_windows`) — identical
+    results, no single-task-per-entity straggler. The bucket width targets
+    ~``hot_target_rows`` rows per (entity, bucket) task.
+
+    Threshold calibration (measured, scale tier, local[32]): a 120k-row
+    entity's window task is only ~0.7 s (sort+6 window exprs are cheap),
+    while the bucketing machinery — the detection aggregate plus two
+    narrow carry/offset scans — costs ~2-3 s, so bucketing a 120k-row
+    entity is a net LOSS locally; the crossover is around several 10^5
+    rows per entity. At 10^12-row scale a hot entity owning even 0.1% of
+    events is ~10^9 rows in ONE task — hours — so the default fires long
+    before that; set it to match your cluster's per-task comfort zone."""
+    if with_pixels:
+        dim = image_stats(events, images)
+    else:
+        dim = images.select("image_id", "phash")  # narrow -> prunable
+    # LEFT join: an event whose image is missing/late must NOT silently
+    # vanish — dropping it would shift every downstream lag/session/count
+    # feature for its neighbors; unresolved rows just get null phash/pixel
+    # stats (hamming_prev already coalesces null -> -1)
+    hot = detect_hot_entities(events, hot_min_rows) if hot_min_rows else []
+    if not hot:
+        return _plain_event_windows(events.join(dim, "image_id", "left"))
+    span_us = max(int(r["mx"]) - int(r["mn"]) for r in hot) + 1_000_000
+    n_buckets = max(2, min(512, max(int(r["cnt"]) for r in hot)
+                           // max(1, hot_target_rows)))
+    width_us = max(2 * _RANGE_LOOKBACK_S * 1_000_000,
+                   -(-span_us // n_buckets))
+    width_us = -(-width_us // 1_000_000) * 1_000_000  # whole seconds
+    hot_ids = [r["entity_id"] for r in hot]
+    return _bucketed_event_windows(events, dim, hot_ids, width_us)
 
 
 PX_COLS = ["px_mean_r", "px_mean_g", "px_mean_b", "px_std", "px_brightness",
@@ -180,6 +367,7 @@ def build_features(
     queries: DataFrame, events: DataFrame, images: DataFrame, *,
     strict: bool = False, time_buckets: int = 0, bucket_width=None,
     with_pixels: bool = True, decode_scope: str = "events",
+    hot_min_rows: int | None = 500_000, hot_target_rows: int = 65_536,
 ) -> DataFrame:
     """Full pipeline; returns one row per query row with feature_vector,
     phash_embedding, and the leakage-audit matched-time column.
@@ -193,13 +381,14 @@ def build_features(
         cheaper when queries are sparse relative to events; costs one
         persist of the as-of output (two consumers).
     """
+    skew = {"hot_min_rows": hot_min_rows, "hot_target_rows": hot_target_rows}
     if with_pixels and decode_scope == "events":
-        feats = event_features(events, images, with_pixels=True)
+        feats = event_features(events, images, with_pixels=True, **skew)
         out = asof_features(queries, feats, strict=strict,
                             time_buckets=time_buckets, bucket_width=bucket_width)
         return assemble_vector(out)
 
-    feats = event_features(events, images, with_pixels=False)
+    feats = event_features(events, images, with_pixels=False, **skew)
     out = asof_features(queries, feats, strict=strict,
                         time_buckets=time_buckets, bucket_width=bucket_width)
     if with_pixels:

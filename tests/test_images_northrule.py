@@ -288,6 +288,34 @@ def test_bucketed_path_matches(spark, paths):
     assert ra == rb
 
 
+def test_hot_entity_bucketed_windows_match_plain(spark, paths):
+    """The time-bucketed two-phase window path for hot entities (skew
+    handling at the WINDOW stage, not just joins) must reproduce the plain
+    per-entity windows exactly — forced at smoke scale by dropping the hot
+    threshold so the fixture's hot entities route through bucketing."""
+    from dagli_spark.northrule import event_features
+
+    ev = spark.read.parquet(paths["image_events"])
+    im = spark.read.parquet(paths["images"])
+    plain = event_features(ev, im, with_pixels=False, hot_min_rows=None)
+    forced = event_features(ev, im, with_pixels=False,
+                            hot_min_rows=100, hot_target_rows=20)
+    cols = sorted(plain.columns)
+    assert sorted(forced.columns) == cols
+    a = sorted(str(r) for r in plain.select(*cols).collect())
+    b = sorted(str(r) for r in forced.select(*cols).collect())
+    assert a == b
+    # and end-to-end through the as-of join + vector assembly
+    qs = spark.read.parquet(paths["queries"])
+    base = build_features(qs, ev, im, with_pixels=False, hot_min_rows=None)
+    skewed = build_features(qs, ev, im, with_pixels=False,
+                            hot_min_rows=100, hot_target_rows=20)
+    keys = ["entity_id", "asof_time", "qseq", "feature_vector"]
+    ra = sorted(str(r) for r in base.select(*keys).collect())
+    rb = sorted(str(r) for r in skewed.select(*keys).collect())
+    assert ra == rb
+
+
 def test_event_features_two_sorts_one_exchange(spark, paths):
     """Stage-shape pin (round-3 scaling work): the windowed-feature pass
     sorts the event table exactly TWICE — once for every (event_time,
