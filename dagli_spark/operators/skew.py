@@ -77,3 +77,29 @@ def hot_keys(df: DataFrame, keys: list[str], *, top: int = 10,
         .orderBy(F.col("count").desc())
         .limit(top)
     )
+
+
+def spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Round-robin-widen a byte-small scan that feeds a CPU-heavy map pass.
+
+    Spark sizes file-scan splits by BYTES (spark.sql.files.maxPartitionBytes),
+    so a few-MB compacted file becomes ONE split; a per-row kernel costing
+    ~1 ms/row then serializes minutes of CPU while every other core idles.
+    Opt-in, NOT wired into the built-in text/dedup operators: A/B on the
+    sf0.1 documents corpus (1 split, 5k docs, 32 cores) showed the built-in
+    Catalyst kernels are too cheap to amortize the extra full-text shuffle —
+    exact_dedup regressed 1.5->2.4 s and minhash/simhash were flat once the
+    word_ngrams let-binding fix (functions/text.py bound_once) removed the
+    real hotspot. Use it for genuinely expensive user kernels (Python/Arrow
+    featurizers, media decode) over narrow scans, where per-row cost
+    dominates the one-time shuffle of the input bytes. A no-op when the
+    plan is already at least as wide as the cluster — the 100-TB case,
+    where a corpus scan has ~10^5 splits and the shuffle would be pure loss.
+
+    Output is row-identical (operators downstream are partition-invariant
+    by the determinism contract — tests/test_parallelism_grid.py).
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df

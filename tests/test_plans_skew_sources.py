@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 from dagli_spark.fixtures import materialize
 from dagli_spark.northrule import event_features
 from dagli_spark.operators.asof import asof_join
-from dagli_spark.operators.skew import hot_keys, salted_agg
+from dagli_spark.operators.skew import hot_keys, salted_agg, spread_for_cpu
 from dagli_spark.plans.inspect import (
     count_exchanges,
     pushed_filters,
@@ -80,6 +80,20 @@ def test_hot_keys_finds_fixture_skew(spark):
     ids = {r["entity_id"] for r in hk.collect()}
     # fixture gives the 4 hot entities ~5% each
     assert {"e_000000", "e_000001", "e_000002", "e_000003"} <= ids
+
+
+def test_spread_for_cpu_widens_narrow_rows_identical(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    narrow = docs.coalesce(1)
+    wide = spread_for_cpu(narrow)
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # row-identical (order-insensitive)
+    a = sorted(r["doc_id"] for r in narrow.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in wide.select("doc_id").collect())
+    assert a == b
+    # no-op when the plan is already at least cluster-wide
+    already = docs.repartition(spark.sparkContext.defaultParallelism)
+    assert spread_for_cpu(already) is already
 
 
 def test_sources(spark, sf_dir):
