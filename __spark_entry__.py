@@ -1171,7 +1171,7 @@ def _minhash_portable_oracle() -> str:
             k = f"(({k}) * 31 + mh_{i} + 1) % {_POLY_M}"
         band_keys.append(f"SELECT doc_id, {k} AS band_key FROM sig")
     banded = " UNION ALL ".join(band_keys)
-    return f"""
+    return rf"""
         WITH t AS (SELECT doc_id,
                           list_filter(regexp_split_to_array(trim(text),
                               '\\s+'), x -> x <> '') AS toks
@@ -1225,7 +1225,7 @@ def _simhash_portable_oracle() -> str:
         f"SELECT doc_id, sim, {blk} * {1 << width}"
         f" + ((sim >> {blk * width}) & {(1 << width) - 1})"
         f" AS bk FROM sig" for blk in range(blocks))
-    return f"""
+    return rf"""
         WITH t AS (SELECT doc_id,
                           list_filter(regexp_split_to_array(trim(lower(text)),
                               '\\s+'), x -> x <> '') AS toks
@@ -1317,7 +1317,7 @@ def _lang_id_oracle() -> str:
     pick = " ".join(
         f"WHEN h_{la} = {best} THEN '{la}'" for la in langs_desc[:-1]
     )
-    return f"""
+    return rf"""
         WITH t AS (SELECT doc_id,
                           list_filter(regexp_split_to_array(trim(lower(text)),
                                       '\\s+'), x -> x <> '') AS toks
@@ -1517,7 +1517,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, count(DISTINCT user_id) AS n_groups
             FROM events GROUP BY 1
         """,
-        "text_stats": """
+        "text_stats": r"""
             WITH t AS (SELECT doc_id, text,
                               list_filter(regexp_split_to_array(trim(text), '\s+'),
                                           x -> x <> '') AS toks
@@ -1553,12 +1553,12 @@ def oracle_sql() -> dict[str, str]:
                      AS quality
             FROM m
         """,
-        "exact_dedup": """
+        "exact_dedup": r"""
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY array_to_string(list_filter(
                 regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> ''), ' ')
         """,
-        "top_tokens": """
+        "top_tokens": r"""
             SELECT token, count(*) AS cnt
             FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
                                             x -> x <> '')) AS token
@@ -1770,7 +1770,7 @@ def oracle_sql() -> dict[str, str]:
                      AS mrr3
             FROM p
         """,
-        "word_ngrams": """
+        "word_ngrams": r"""
             WITH t AS (SELECT doc_id,
                               list_filter(regexp_split_to_array(trim(text), '\s+'),
                                           x -> x <> '') AS toks
@@ -1786,7 +1786,7 @@ def oracle_sql() -> dict[str, str]:
                           i -> text[i:i+2])) AS ngram
             FROM documents
         """,
-        "indices": """
+        "indices": r"""
             WITH t AS (SELECT doc_id,
                               list_filter(regexp_split_to_array(trim(text), '\s+'),
                                           x -> x <> '') AS toks
@@ -1864,7 +1864,7 @@ def oracle_sql() -> dict[str, str]:
                         THEN round((v - mn) / (mx - mn), 6) END AS vn
             FROM e, s
         """,
-        "ngram_padding": """
+        "ngram_padding": r"""
             -- count_n(L, pad p) = max(L + 2p - n + 1, 0), summed n=1..3;
             -- none: p=0; single: p=min(1, n-1); full: p=n-1
             WITH t AS (SELECT doc_id,

@@ -48,15 +48,19 @@ T0_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in epoch micros
 
 
 def _mix(*keys) -> np.ndarray:
-    """Vectorized splitmix64 over combined integer keys (arrays or ints)."""
-    z = np.uint64(0)
-    for k in keys:
-        z = np.bitwise_xor(z, np.asarray(k, dtype=np.uint64))
-        z = (z + _SM)
-        z = np.bitwise_xor(z, z >> np.uint64(30)) * np.uint64(0xBF58476D1CE4E5B9)
-        z = np.bitwise_xor(z, z >> np.uint64(27)) * np.uint64(0x94D049BB133111EB)
-        z = np.bitwise_xor(z, z >> np.uint64(31))
-    return z
+    """Vectorized splitmix64 over combined integer keys (arrays or ints).
+    uint64 wraparound is the algorithm — numpy's scalar path raises a
+    RuntimeWarning for it (the array path doesn't), so silence it here
+    rather than spam every executor log."""
+    with np.errstate(over="ignore"):
+        z = np.uint64(0)
+        for k in keys:
+            z = np.bitwise_xor(z, np.asarray(k, dtype=np.uint64))
+            z = (z + _SM)
+            z = np.bitwise_xor(z, z >> np.uint64(30)) * np.uint64(0xBF58476D1CE4E5B9)
+            z = np.bitwise_xor(z, z >> np.uint64(27)) * np.uint64(0x94D049BB133111EB)
+            z = np.bitwise_xor(z, z >> np.uint64(31))
+        return z
 
 
 def _u01(*keys) -> np.ndarray:
