@@ -1174,7 +1174,7 @@ def _minhash_portable_oracle() -> str:
     return rf"""
         WITH t AS (SELECT doc_id,
                           list_filter(regexp_split_to_array(trim(text),
-                              '\\s+'), x -> x <> '') AS toks
+                              '\s+'), x -> x <> '') AS toks
                    FROM documents),
              g AS (SELECT doc_id,
                           list_distinct(list_transform(range(1, len(toks) - 1),
@@ -1228,7 +1228,7 @@ def _simhash_portable_oracle() -> str:
     return rf"""
         WITH t AS (SELECT doc_id,
                           list_filter(regexp_split_to_array(trim(lower(text)),
-                              '\\s+'), x -> x <> '') AS toks
+                              '\s+'), x -> x <> '') AS toks
                    FROM documents),
              e AS (SELECT doc_id, unnest(toks) AS s FROM t),
              h AS (SELECT doc_id,
@@ -1320,7 +1320,7 @@ def _lang_id_oracle() -> str:
     return rf"""
         WITH t AS (SELECT doc_id,
                           list_filter(regexp_split_to_array(trim(lower(text)),
-                                      '\\s+'), x -> x <> '') AS toks
+                                      '\s+'), x -> x <> '') AS toks
                    FROM documents),
              h AS (SELECT doc_id, {hits} FROM t)
         SELECT doc_id,
@@ -1869,7 +1869,7 @@ def oracle_sql() -> dict[str, str]:
             -- none: p=0; single: p=min(1, n-1); full: p=n-1
             WITH t AS (SELECT doc_id,
                               len(list_filter(regexp_split_to_array(trim(text),
-                                  '\\s+'), x -> x <> '')) AS L
+                                  '\s+'), x -> x <> '')) AS L
                        FROM documents)
             SELECT doc_id,
                    CAST(greatest(L, 0) + greatest(L - 1, 0)

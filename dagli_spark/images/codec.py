@@ -93,7 +93,7 @@ def decode_png(data: bytes) -> np.ndarray:
             out[y] = line
         elif f == 1:  # Sub
             for x in range(bpp, w * 3):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
+                line[x] = (int(line[x]) + int(line[x - bpp])) & 0xFF
             out[y] = line
         elif f == 2:  # Up
             out[y] = (line + (out[y - 1] if y else 0)) & 0xFF
