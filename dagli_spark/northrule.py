@@ -117,34 +117,72 @@ def _plain_event_windows(ev: DataFrame) -> DataFrame:
 
 def _hot_carry_rows(events: DataFrame, is_hot, width_us: int, *,
                     last_n: int, with_horizon: bool) -> DataFrame:
-    """Carry-in rows for the bucketed window path: each hot-entity bucket's
-    tail, re-addressed to the entity's NEXT NON-EMPTY bucket. The tail is
-    the last ``last_n`` rows by position plus (``with_horizon``) everything
-    inside the destination bucket's ``_RANGE_LOOKBACK_S`` horizon. Derived
-    from the RAW events (narrow pruned scan) — never from the image-joined
-    frame, so the decode stage is not re-evaluated per consumer."""
+    """Carry-in rows for the bucketed window path: for every hot-entity
+    bucket, the last ``last_n`` rows GLOBALLY preceding the bucket's first
+    row, plus (``with_horizon``) everything inside the bucket's trailing
+    ``_RANGE_LOOKBACK_S`` horizon. Derived from the RAW events (narrow
+    pruned scan) — never from the image-joined frame, so the decode stage
+    is not re-evaluated per consumer.
+
+    The tail must be TRANSITIVE: when the previous non-empty bucket holds
+    fewer than ``last_n`` rows, a rows(-last_n,0) frame in the destination
+    still reaches through it into earlier buckets (B0=5 rows, B1=1 row,
+    B2: B2's first frame needs B1's row AND B0's tail). A single-hop
+    "previous bucket's tail" silently under-fills such frames, so
+    destinations are resolved by GLOBAL row position instead: with
+    per-(entity, bucket) prefix counts, row r (global position ``rn``)
+    feeds bucket d iff ``rows_before(d) ∈ [rn, rn+last_n-1]`` — expressed
+    as ``last_n`` generated join keys so the broadcast lookup stays a hash
+    equi-join (one source row may feed SEVERAL thin destinations). Only a
+    bucket's own last ``last_n`` rows can ever qualify, so the explode is
+    bounded at ``last_n`` rows per occupied bucket.
+
+    The horizon stays single-hop on the immediately previous occupied
+    bucket: ``width_us >= 2 * _RANGE_LOOKBACK_S`` means a destination's
+    horizon window lies entirely inside the bucket directly before it by
+    TIME, so any occupied earlier bucket either is that bucket or holds no
+    horizon rows. A row selected by both routes is deduplicated (frames
+    must see each carried row exactly once)."""
     us = F.unix_micros(F.col("event_time").cast("timestamp"))
     e = events.where(is_hot).withColumn("__b", F.floor(us / width_us))
-    tb = e.select("entity_id", "__b").distinct()
+    # per-(entity, bucket) prefix counts — dictionary-sized (occupied
+    # buckets only), window runs over the aggregated frame, not events
+    ct = e.groupBy("entity_id", "__b").agg(F.count(F.lit(1)).alias("__cnt"))
     w_ent = Window.partitionBy("entity_id").orderBy("__b")
-    carry_map = (
-        tb.withColumn("__src", F.lag("__b").over(w_ent))
-        .where(F.col("__src").isNotNull())
-        .select("entity_id", F.col("__src").alias("__b"),
-                F.col("__b").alias("__dst"))
-    )
+    ct = (ct.withColumn("__thru", F.sum("__cnt").over(w_ent))
+            .withColumn("__before", F.col("__thru") - F.col("__cnt")))
+    dsts = ct.select("entity_id", F.col("__b").alias("__dst"),
+                     F.col("__before").alias("__k"))
     w_desc = Window.partitionBy("entity_id", "__b").orderBy(
         F.col("event_time").desc(), F.col("eseq").desc())
-    cond = F.col("__rnd") <= last_n
-    if with_horizon:
-        dst_start_s = (F.col("__dst") * width_us / 1_000_000).cast("long")
-        cond = cond | (F.floor(us / 1_000_000)
-                       >= dst_start_s - _RANGE_LOOKBACK_S)
-    return (
+    tails = (
         e.withColumn("__rnd", F.row_number().over(w_desc))
-        .join(F.broadcast(carry_map), ["entity_id", "__b"])
-        .where(cond)
-        .drop("__b", "__rnd").withColumnRenamed("__dst", "__b")
+        .where(F.col("__rnd") <= last_n)
+        .join(F.broadcast(ct.select("entity_id", "__b", "__thru")),
+              ["entity_id", "__b"])
+        .withColumn("__rn", F.col("__thru") - F.col("__rnd") + 1)
+        .withColumn("__k", F.explode(F.array(
+            *[F.col("__rn") + j for j in range(last_n)])))
+        .join(F.broadcast(dsts), ["entity_id", "__k"])
+        .where(F.col("__dst") > F.col("__b"))
+        .drop("__rnd", "__thru", "__rn", "__k")
+    )
+    carried = tails
+    if with_horizon:
+        carry_map = (
+            ct.withColumn("__src", F.lag("__b").over(w_ent))
+            .where(F.col("__src").isNotNull())
+            .select("entity_id", F.col("__src").alias("__b"),
+                    F.col("__b").alias("__dst"))
+        )
+        dst_start_s = (F.col("__dst") * width_us / 1_000_000).cast("long")
+        horizon = (
+            e.join(F.broadcast(carry_map), ["entity_id", "__b"])
+            .where(F.floor(us / 1_000_000) >= dst_start_s - _RANGE_LOOKBACK_S)
+        )
+        carried = carried.unionByName(horizon).dropDuplicates()
+    return (
+        carried.drop("__b").withColumnRenamed("__dst", "__b")
         .withColumn("__carry", F.lit(True))
     )
 

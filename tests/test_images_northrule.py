@@ -331,3 +331,51 @@ def test_event_features_two_sorts_one_exchange(spark, paths):
     sorts = [l for l in plan.splitlines() if re.match(r"[\s:+-]*\+- Sort ", l)]
     assert len(sorts) == 2, sorts
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_bucketed_windows_thin_buckets_transitive_carry(spark):
+    """Regression: the bucketed path's tail carry must be TRANSITIVE.
+    When the previous occupied bucket holds fewer than 4 rows, a
+    rows(-4,0) frame in the destination reaches through it into earlier
+    buckets — the original single-hop carry (last 4 rows of the previous
+    non-empty bucket only) under-filled such frames and label_avg5
+    silently depended on the hot threshold. Cases: the review's 5-1-3
+    repro, a 4-deep chain of 1-row buckets, an empty bucket gap, and
+    boundary-adjacent rows exercising the tail/horizon overlap dedupe."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from dagli_spark.northrule import (
+        _bucketed_event_windows,
+        _plain_event_windows,
+    )
+
+    width_us = 7200 * 1_000_000
+    schema = T.StructType([
+        T.StructField("entity_id", T.StringType()),
+        T.StructField("event_time", T.TimestampNTZType()),
+        T.StructField("eseq", T.LongType()),
+        T.StructField("image_id", T.StringType()),
+        T.StructField("label", T.DoubleType()),
+    ])
+    dim = spark.createDataFrame(
+        [(f"img{i}", i * 1234567) for i in range(3)],
+        ["image_id", "phash"])
+    cases = {
+        "5-1-3": [100, 200, 300, 400, 500, 7300, 14500, 14600, 14700],
+        "2-1-1-1-2": [100, 200, 7300, 14500, 21700, 28900, 29000],
+        "5-gap-3": [100, 200, 300, 400, 500, 14500, 14600, 14700],
+        "horizon-overlap": [7000, 7100, 7190, 7300, 14350, 14390, 14500],
+    }
+    base = dt.datetime(2026, 1, 1)
+    for name, ts in cases.items():
+        rows = [("E", base + dt.timedelta(seconds=s), i,
+                 f"img{i % 3}", float(i + 1)) for i, s in enumerate(ts)]
+        ev = spark.createDataFrame(rows, schema)
+        plain = _plain_event_windows(ev.join(dim, "image_id", "left"))
+        buck = _bucketed_event_windows(ev, dim, ["E"], width_us)
+        cols = sorted(plain.columns)
+        a = sorted(str(r) for r in plain.select(*cols).collect())
+        b = sorted(str(r) for r in buck.select(*cols).collect())
+        assert a == b, f"{name}: bucketed diverges from plain"
