@@ -299,7 +299,7 @@ class RankModel:
 
     def apply(self, df: DataFrame, *, out: str | None = None) -> DataFrame:
         from pyspark.sql.functions import pandas_udf
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import IntegralType, LongType
 
         out = out or f"{self.col}_rank"
         values, prefix = self._arrays()
@@ -324,7 +324,17 @@ class RankModel:
                 r = np.minimum(r, limit)
             return pd.Series(r)
 
-        return df.withColumn(out, _rank(F.col(self.col)))
+        # integral probes ride in null-free (coalesce in, when() out):
+        # Arrow hands an int64 batch containing a null to pandas as
+        # float64, which would round probes beyond 2^53 and shunt the UDF
+        # onto its float comparison path for the whole batch
+        if isinstance(df.schema[self.col].dataType, IntegralType):
+            ranked = _rank(F.coalesce(F.col(self.col), F.lit(0)))
+            ranked = F.when(F.col(self.col).isNull(), F.lit(0)) \
+                .otherwise(ranked)
+        else:
+            ranked = _rank(F.col(self.col))
+        return df.withColumn(out, ranked)
 
 
 def fit_rank(df: DataFrame, col: str, *, limit: int | None = None,
@@ -379,11 +389,19 @@ def fit_rank(df: DataFrame, col: str, *, limit: int | None = None,
 
 def continuous_bin_expr(df: DataFrame, col: str, max_bins: int):
     """Shared continuous-input guard for driver-side fits (BucketIndex DP,
-    isotonic PAV): when the approximate distinct count exceeds ~max_bins,
-    return a fixed-width bin Column quantizing ``col`` into <= max_bins
-    bins (clamped at the top edge); return None for the exact path.
-    Bounding the histogram here is what keeps the subsequent driver
-    collect dictionary-sized on continuous columns at 100x scale."""
+    isotonic PAV): when the approximate distinct count exceeds ``max_bins``
+    (within approx_count_distinct's ~5% error), return a fixed-width bin
+    Column quantizing ``col`` into <= max_bins bins (clamped at the top
+    edge); return None for the exact path. Bounding the histogram here is
+    what keeps the subsequent driver collect dictionary-sized on continuous
+    columns at 100x scale. Non-numeric columns (strings, categorical keys)
+    always take the exact path: they cannot be range-quantized, and the
+    double cast in the stats probe would throw under ANSI sessions — their
+    cardinality is the caller's contract, as it was before this guard."""
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(df.schema[col].dataType, NumericType):
+        return None
     stats = df.agg(
         F.approx_count_distinct(col).alias("nd"),
         F.min(F.col(col).cast("double")).alias("mn"),
@@ -391,7 +409,7 @@ def continuous_bin_expr(df: DataFrame, col: str, max_bins: int):
     ).first()
     nd, mn, mx = stats["nd"], stats["mn"], stats["mx"]
     if not (nd is not None and mn is not None
-            and nd > 0.7 * max_bins and mx > mn):
+            and nd > max_bins and mx > mn):
         return None
     width = (mx - mn) / max_bins
     return F.least(
@@ -425,22 +443,32 @@ class BucketModel:
         # with probe <= boundaries[i], clamped to the last bucket; null
         # probes fall through every when() above, i.e. last bucket.
         from pyspark.sql.functions import pandas_udf
-        from pyspark.sql.types import IntegerType
+        from pyspark.sql.types import IntegerType, IntegralType
 
-        bounds = np.asarray(self.boundaries, dtype=np.float64)
+        # integral columns stay in int64 end to end: a float64 detour
+        # rounds probes/boundaries above 2^53 and can flip a bucket vs the
+        # small-k when-chain's exact native comparison. Nulls are handled
+        # JVM-side (coalesce in, when() out) because Arrow hands an int64
+        # batch CONTAINING A NULL to pandas as float64 — which would round
+        # the surviving probes before the UDF ever saw them.
+        integral = (isinstance(df.schema[self.col].dataType, IntegralType)
+                    and all(float(b).is_integer() for b in self.boundaries))
+        dt = np.int64 if integral else np.float64
+        bounds = np.asarray(self.boundaries, dtype=dt)
         bc = df.sparkSession.sparkContext.broadcast(bounds)
         k_last = len(self.boundaries)
 
         @pandas_udf(IntegerType())
         def _bucket(s: pd.Series) -> pd.Series:
             b = bc.value
-            null_mask = s.isna().to_numpy()
-            x = s.astype("float64").fillna(0.0).to_numpy()
-            r = np.searchsorted(b, x, side="left").astype(np.int32)
-            r[null_mask] = k_last
-            return pd.Series(r)
+            x = s.to_numpy(dtype=b.dtype)
+            return pd.Series(np.searchsorted(b, x, side="left")
+                             .astype(np.int32))
 
-        return df.withColumn(out, _bucket(F.col(self.col).cast("double")))
+        probe = F.col(self.col) if integral else F.col(self.col).cast("double")
+        return df.withColumn(out, F.when(
+            F.col(self.col).isNull(), F.lit(k_last)
+        ).otherwise(_bucket(F.coalesce(probe, F.lit(0)))))
 
 
 def fit_bucket_index(df: DataFrame, col: str, k: int, *,

@@ -179,3 +179,71 @@ def test_fit_plans_have_no_data_sized_single_partition_sort(spark):
     # single-partition exchange feeds the P-row partition-count table
     assert "rangepartitioning" in plan.lower()
     assert "__tp_pid" in plan
+
+
+def test_continuous_guard_skips_non_numeric(spark):
+    """continuous_bin_expr must take the exact path on string columns: they
+    cannot be range-quantized, and the stats probe's double cast would
+    throw CAST_INVALID_INPUT under an ANSI-enabled caller session (the
+    correctness driver brings its own). fit_rank over strings — supported
+    since round 1, RankModel handles object-dtype populations — must keep
+    working end to end."""
+    from dagli_spark.operators.fit import continuous_bin_expr, fit_rank
+
+    df = spark.createDataFrame(
+        [(f"w{i:04d}",) for i in range(300)] * 2, "s string")
+    assert continuous_bin_expr(df, "s", 100) is None
+    m = fit_rank(df, "s")
+    got = {r["s"]: r["r"] for r in m.apply(df, out="r").collect()}
+    assert got["w0000"] == 0 and got["w0002"] == 4  # 2 instances per value
+
+
+def test_continuous_guard_threshold_is_max_bins(spark):
+    """The binning approximation must not fire while the exact state still
+    fits: 80 distinct values with max_bins=100 stays exact (the earlier
+    0.7x gate silently approximated ranks for exact-feasible columns — a
+    latent oracle-parity break at bigger tiers); 300 distinct with
+    max_bins=100 bins."""
+    from dagli_spark.operators.fit import continuous_bin_expr
+
+    exact = spark.createDataFrame([(float(i),) for i in range(80)], "v double")
+    assert continuous_bin_expr(exact, "v", 100) is None
+    wide = spark.createDataFrame([(float(i),) for i in range(300)], "v double")
+    assert continuous_bin_expr(wide, "v", 100) is not None
+
+
+def test_bucket_apply_large_k_exact_for_big_longs(spark):
+    """The large-k searchsorted path must compare integral probes in int64:
+    a float64 detour rounds values near 2^53 and can land a probe in a
+    different bucket than the small-k when-chain's exact long comparison."""
+    from dagli_spark.operators.fit import BucketModel
+
+    base = 1 << 53
+    bounds = [base + 2 * i for i in range(80)]  # k-1 = 80 integer bounds
+    m = BucketModel("v", bounds)
+    probes = [base + d for d in range(-2, 161)] + [None, base + 10**6]
+    df = spark.createDataFrame([(p,) for p in probes], "v long")
+    got = {r["v"]: r["b"] for r in m.apply(df, out="b").collect()}
+    for p in probes:
+        exp = (len(bounds) if p is None else
+               next((i for i, b in enumerate(bounds) if p <= b), len(bounds)))
+        assert got[p] == exp, (p, got[p], exp)
+
+
+def test_rank_apply_exact_for_big_longs_with_null_probes(spark):
+    """Same Arrow hazard for RankModel.apply: an int64 probe batch
+    containing a null reaches pandas as float64, which rounded probes
+    beyond 2^53 and shunted the whole batch onto the float comparison
+    path. Integral probes now ride null-free (coalesce in, when() out)."""
+    from dagli_spark.operators.fit import fit_rank
+
+    base = 1 << 53
+    pop = [base + 2 * i for i in range(40)]
+    fitted = spark.createDataFrame([(v,) for v in pop], "v long")
+    m = fit_rank(fitted, "v")
+    probes = [base + d for d in range(-1, 82)] + [None]
+    df = spark.createDataFrame([(p,) for p in probes], "v long")
+    got = {r["v"]: r["r"] for r in m.apply(df, out="r").collect()}
+    for p in probes:
+        exp = 0 if p is None else sum(1 for v in pop if v < p)
+        assert got[p] == exp, (p, got[p], exp)
