@@ -108,20 +108,17 @@ def main() -> None:
             # execution (JIT + first-scan effects) is reported separately.
             # The JVM tiers whole-stage-codegen up to C2 over the first few
             # executions (measured warmup curve at sf0.1/32: 38 s -> 21 s ->
-            # 5.2 s -> 5.3 s), so a fixed best-of-2 reports a half-warmed
-            # number — rerun until a pass stops improving the best by >10%
-            # (max 4 total), same protocol as BENCH/run_scaling.py
+            # 5.2 s -> 5.3 s), so a FIXED 4 passes, best counts — the same
+            # protocol as BENCH/run_scaling.py. An improvement-threshold
+            # early stop is biased: a slow C2 ramp (38 -> 36 -> 5.2) fails
+            # the threshold while still half-warmed and reports the 36.
             _noop_write(northrule_run(spark, paths))
             northrule_cold_sec = round(time.time() - t0, 3)
             best = northrule_cold_sec
             for _ in range(3):
                 t1 = time.time()
                 _noop_write(northrule_run(spark, paths))
-                dt_i = time.time() - t1
-                improved = dt_i < best * 0.9
-                best = min(best, dt_i)
-                if not improved:
-                    break
+                best = min(best, time.time() - t1)
             dt = best
             fv_per_sec = round(n_queries / dt, 1)
         else:

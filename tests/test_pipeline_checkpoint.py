@@ -215,7 +215,9 @@ def test_input_signature_sees_partition_dirs(tmp_path):
     assert len(sig1) == 1  # the partition-dir data file is seen
     _time.sleep(0.01)
     (part / "part-0.parquet").write_bytes(b"BBBB")
-    assert input_signature(str(root)) != sig1
-    # metadata markers still excluded: adding one does not change the key
+    sig2 = input_signature(str(root))
+    assert sig2 != sig1
+    # metadata markers still excluded: adding one (data files untouched)
+    # must leave the signature unchanged
     (root / "_dagli_schema.json").write_bytes(b"{}")
-    (part / "part-0.parquet").write_bytes(b"AAA")
+    assert input_signature(str(root)) == sig2
