@@ -263,6 +263,10 @@ SCALES = {
     # (fixed scheduling overhead must be small against per-row work, as it
     # is on a real cluster at 10^12 rows)
     "scale": (240_000, 12_000, 2_400_000, 1_200_000),
+    # 4x the scale tier: supplementary 8->32 evidence where per-stage
+    # fixed costs (~2-3 s/level) fall under ~5% of the 32-core wall —
+    # the sandbox stand-in for "on a real input, fixed costs vanish"
+    "scale4x": (960_000, 48_000, 9_600_000, 4_800_000),
 }
 
 
