@@ -78,55 +78,62 @@ _STACK_CHUNK = 1024
 
 
 def _features_batch(datas: "pd.Series") -> list[tuple]:
-    """Per-Arrow-batch featurization: decode each payload (zlib is C-speed),
-    then group decoded arrays by shape and compute pixel stats + phash as
-    BATCHED numpy over each same-shape stack.
+    """Per-Arrow-batch featurization: group payloads by shape from the
+    container HEADER alone (no decompression), then decode each image
+    straight into its slice of a preallocated channel-first (B, 3, H, W)
+    stack and compute pixel stats + phash as BATCHED numpy over it.
 
     Bandwidth discipline (this stage is the wall-time leader of the whole
     benchmark, and at 32 concurrent workers the machine's memory bandwidth
-    — not CPU — is the scaling limit): all statistics are integer-exact
-    reductions computed straight off the uint8 stack with float64
-    ACCUMULATORS (sums, einsum square-sum, int16 gray-plane diffs) — an
-    8x-sized float64 image copy never materializes. Every reduction input
-    is an exact integer below 2^53, so results are bit-identical across
-    batch/chunk splits and parallelism levels (grid test); px_std and
-    edge energy are numpy-allclose to the naive two-pass float formulas
-    (~1e-12 relative), and phash is bit-identical to the fixture's stored
-    hashes. Pinned by tests/test_images_northrule.py."""
+    — not CPU — is the scaling limit): header-first grouping means the
+    decode -> np.stack -> transpose chain (3 reads + 3 writes per byte)
+    collapses into ONE gather per plane directly into the reduction
+    layout (codec.decode_into_planes), and all statistics are
+    integer-exact reductions computed straight off the uint8 planes with
+    float64 ACCUMULATORS (sums, einsum square-sum, int16 gray-plane
+    diffs) — an 8x-sized float64 image copy never materializes. Every
+    reduction input is an exact integer below 2^53, so results are
+    bit-identical across batch/chunk splits and parallelism levels (grid
+    test); px_std and edge energy are numpy-allclose to the naive
+    two-pass float formulas (~1e-12 relative), and phash is bit-identical
+    to the fixture's stored hashes. Pinned by
+    tests/test_images_northrule.py."""
+    from dagli_spark.images.codec import decode_into_planes, image_shape
     from dagli_spark.images.phash import phash64_stack
 
-    n = len(datas)
+    nulls = (None,) * len(DECODE_FIELDS)
+    vals = list(datas)
+    n = len(vals)
     out: list = [None] * n
     by_shape: dict[tuple, list[int]] = {}
-    arrs: list = [None] * n
-    for i, b in enumerate(datas):
+    for i, b in enumerate(vals):
         if b is None:
-            out[i] = (None,) * len(DECODE_FIELDS)
+            out[i] = nulls
             continue
         try:
-            a = decode_image(b)
+            hw = image_shape(bytes(b))
         except Exception:
             # corrupt/truncated payload: emit an all-null feature row —
             # one bad image must never fail the whole Spark stage (same
             # contract as the audio/video featurizers, features/multimodal)
-            out[i] = (None,) * len(DECODE_FIELDS)
+            out[i] = nulls
             continue
-        arrs[i] = a
-        by_shape.setdefault(a.shape, []).append(i)
-    for _shape, all_idxs in by_shape.items():
+        by_shape.setdefault(hw, []).append(i)
+    for (hh, ww), all_idxs in by_shape.items():
         for c0 in range(0, len(all_idxs), _STACK_CHUNK):
             idxs = all_idxs[c0:c0 + _STACK_CHUNK]
-            stack = np.stack([arrs[i] for i in idxs])    # (B, H, W, 3) uint8
-            _b, hh, ww, _ = stack.shape
+            cf = np.empty((len(idxs), 3, hh, ww), dtype=np.uint8)
+            for j, i in enumerate(idxs):
+                try:
+                    decode_into_planes(vals[i], cf[j])
+                except Exception:
+                    # header parsed but the body is corrupt: null row; the
+                    # zeroed slice still flows through the batched math
+                    # (per-image reductions are independent) and is
+                    # discarded below
+                    cf[j] = 0
+                    out[i] = nulls
             npx = hh * ww * 3
-            # channel-first contiguous copy: the stride-3 channel axis makes
-            # direct reductions over (B,H,W,3) 10-15x slower than the same
-            # math over (B,3,H,W) planes (no SIMD across a strided axis) —
-            # one extra 1x uint8 copy buys ~3x on the whole stat block.
-            # Every reduction below is still an exact-integer sum in a
-            # float64/int16 accumulator, so results stay bit-identical to
-            # the (B,H,W,3) formulation regardless of summation order.
-            cf = np.ascontiguousarray(stack.transpose(0, 3, 1, 2))
             sums = cf.reshape(len(idxs), 3, -1).sum(
                 axis=2, dtype=np.float64)                     # (B, 3) exact
             means = sums / (hh * ww)
@@ -144,13 +151,14 @@ def _features_batch(datas: "pd.Series") -> list[tuple]:
             dy = gray3[:, 1:, :] - gray3[:, :-1, :]
             np.abs(dy, out=dy)
             gy = dy.mean(axis=(1, 2), dtype=np.float64) / 3.0
-            hashes = phash64_stack(stack, gray3=gray3)
+            hashes = phash64_stack(gray3=gray3)
             for j, i in enumerate(idxs):
-                out[i] = (
-                    float(means[j, 0]), float(means[j, 1]), float(means[j, 2]),
-                    float(std[j]), float(bright[j]), float(gx[j] + gy[j]),
-                    int(hashes[j]),
-                )
+                if out[i] is None:
+                    out[i] = (
+                        float(means[j, 0]), float(means[j, 1]),
+                        float(means[j, 2]), float(std[j]), float(bright[j]),
+                        float(gx[j] + gy[j]), int(hashes[j]),
+                    )
     return out
 
 

@@ -52,7 +52,10 @@ def _paeth(a, b, c):
     return out.astype(np.uint8)
 
 
-def decode_png(data: bytes) -> np.ndarray:
+def _png_raw(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Chunk walk + inflate shared by :func:`decode_png` and
+    :func:`decode_into_planes`: returns (w, h, raw) with ``raw`` the
+    (h, 1 + 3w) filtered scanline buffer."""
     assert data[:8] == _PNG_SIG, "not a PNG"
     pos, w, h = 8, 0, None
     idat = []
@@ -78,13 +81,11 @@ def decode_png(data: bytes) -> np.ndarray:
         # (an unbound h would otherwise surface as an opaque NameError)
         raise ValueError("corrupt PNG: missing IHDR/IDAT chunk")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    stride = 1 + w * 3
-    raw = raw.reshape(h, stride)
-    if not raw[:, 0].any():
-        # all scanlines filter 0 (what encode_png writes): one strided copy
-        # instead of h Python-level row iterations — 4-5x faster decode,
-        # and decode is half the Python-stage cost of the image pipeline
-        return np.ascontiguousarray(raw[:, 1:]).reshape(h, w, 3)
+    return w, h, raw.reshape(h, 1 + w * 3)
+
+
+def _png_defilter(raw: np.ndarray, h: int, w: int) -> np.ndarray:
+    """General PNG filter reconstruction (filters 1-4 present)."""
     out = np.zeros((h, w * 3), dtype=np.uint8)
     bpp = 3
     for y in range(h):
@@ -113,6 +114,16 @@ def decode_png(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unknown PNG filter {f}")
     return out.reshape(h, w, 3)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    w, h, raw = _png_raw(data)
+    if not raw[:, 0].any():
+        # all scanlines filter 0 (what encode_png writes): one strided copy
+        # instead of h Python-level row iterations — 4-5x faster decode,
+        # and decode is half the Python-stage cost of the image pipeline
+        return np.ascontiguousarray(raw[:, 1:]).reshape(h, w, 3)
+    return _png_defilter(raw, h, w)
 
 
 # ------------------------------------------------------- QJPG (lossy stub)
@@ -160,6 +171,62 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_png(bytes(data))
     if data[:4] == _QJPG_SIG:
         return decode_qjpg(bytes(data))
+    raise ValueError("unknown image container")
+
+
+def image_shape(data: bytes) -> tuple[int, int]:
+    """(h, w) from the container header alone — no decompression. Lets a
+    batch featurizer group payloads by shape BEFORE decoding, so each
+    image can then be decoded straight into its slice of a preallocated
+    channel-first stack (:func:`decode_into_planes`)."""
+    if data[:8] == _PNG_SIG:
+        if data[12:16] != b"IHDR":
+            raise ValueError("corrupt PNG: first chunk not IHDR")
+        w, h = struct.unpack(">II", data[16:24])
+        return int(h), int(w)
+    if data[:4] == _QJPG_SIG:
+        w, h = struct.unpack(">II", data[4:12])
+        return int(h), int(w)
+    raise ValueError("unknown image container")
+
+
+def decode_into_planes(data: bytes, out: np.ndarray) -> None:
+    """Decode into a preallocated (3, h, w) uint8 channel-first view with
+    one strided gather per plane — no intermediate (h, w, 3) image, no
+    stack copy, no transpose. DRAM traffic is the 32-worker scaling limit
+    of the decode stage: after inflation this path moves each byte once
+    (strided read -> contiguous write) vs three times for the
+    decode -> np.stack -> transpose chain it replaces. Values are
+    bit-identical to ``decode_image(data).transpose(2, 0, 1)``."""
+    data = bytes(data)
+    _, h, w = out.shape[0], out.shape[1], out.shape[2]
+    if data[:8] == _PNG_SIG:
+        pw, ph, raw = _png_raw(data)
+        if (ph, pw) != (h, w):
+            raise ValueError("payload shape does not match destination")
+        if not raw[:, 0].any():
+            body = raw[:, 1:]
+            for c in range(3):
+                out[c] = body[:, c::3]
+        else:
+            out[:] = _png_defilter(raw, ph, pw).transpose(2, 0, 1)
+        return
+    if data[:4] == _QJPG_SIG:
+        qw, qh, quality, nc = struct.unpack(">IIBB", data[4:14])
+        if (qh, qw) != (h, w) or nc != 3:
+            raise ValueError("payload shape does not match destination")
+        step = _quant_step(quality)
+        q = np.frombuffer(zlib.decompress(data[14:]),
+                          dtype=np.uint8).reshape(h, w, 3)
+        for c in range(3):
+            # per-plane uint16 dequantize (q*step <= 10200 fits): the
+            # transient is plane-sized, and the result lands directly in
+            # the destination plane — bit-identical to decode_qjpg
+            x = q[:, :, c].astype(np.uint16)
+            x *= np.uint16(step)
+            np.minimum(x, 255, out=x)
+            out[c] = x
+        return
     raise ValueError("unknown image container")
 
 

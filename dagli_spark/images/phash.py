@@ -61,7 +61,8 @@ def phash_batch(images: list) -> np.ndarray:
     return np.array([phash64(a) for a in images], dtype=np.int64)
 
 
-def phash64_stack(stack: np.ndarray, *, gray3: np.ndarray | None = None) -> np.ndarray:
+def phash64_stack(stack: np.ndarray | None = None, *,
+                  gray3: np.ndarray | None = None) -> np.ndarray:
     """Batched phash over a (B, h, w, 3) uint8 stack of SAME-SHAPE images —
     one batched matmul instead of B Python round-trips; bit-identical to
     :func:`phash64` per image (each reduction covers the same elements in
@@ -69,10 +70,12 @@ def phash64_stack(stack: np.ndarray, *, gray3: np.ndarray | None = None) -> np.n
     channel-sum plane (sum over axis 3): gray = gray3 / 3.0 is bit-identical
     to astype(float64).mean(axis=3) because the 3-term integer sum is exact
     in float64 — and skips the 8x float64 image copy (bandwidth, see
-    features/image_features._features_batch)."""
-    b, h, w, _ = stack.shape
+    features/image_features._features_batch). With ``gray3`` given the
+    interleaved stack is not consulted at all and may be omitted (the
+    fused plane-decode path never materializes one)."""
     if gray3 is None:
         gray3 = stack.sum(axis=3, dtype=np.int16)
+    b, h, w = gray3.shape
     gray = gray3.astype(np.float64) / 3.0
     if h % 32 == 0 and w % 32 == 0:
         small = gray.reshape(b, 32, h // 32, 32, w // 32).mean(axis=(2, 4))

@@ -379,3 +379,51 @@ def test_bucketed_windows_thin_buckets_transitive_carry(spark):
         a = sorted(str(r) for r in plain.select(*cols).collect())
         b = sorted(str(r) for r in buck.select(*cols).collect())
         assert a == b, f"{name}: bucketed diverges from plain"
+
+
+def test_decode_into_planes_matches_decode_image():
+    """The fused plane decoder must be bit-identical to
+    decode_image().transpose(2,0,1) for PNG (filter-0 and general-filter
+    files), QJPG, and must reject shape mismatches and unknown containers
+    — it is the only decode path the batch featurizer uses."""
+    from dagli_spark.images.codec import (
+        decode_image,
+        decode_into_planes,
+        image_shape,
+    )
+
+    rng = np.random.RandomState(11)
+    payloads = []
+    a = rng.randint(0, 256, (48, 64, 3), dtype=np.uint8)
+    payloads.append(encode_png(a))
+    payloads.append(encode_qjpg(a, 90))
+    # a general-filter PNG (Sub on every row) via the hand-built route
+    import struct
+    import zlib
+
+    h, w = 8, 8
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 1  # Sub filter
+    for y in range(h):
+        line = img[y].reshape(-1).astype(np.int16)
+        enc = line.copy()
+        enc[3:] = (line[3:] - line[:-3]) % 256
+        raw[y, 1:] = enc.astype(np.uint8)
+    from dagli_spark.images.codec import _png_chunk, _PNG_SIG
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payloads.append(_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+                    + _png_chunk(b"IEND", b""))
+    for data in payloads:
+        hh, ww = image_shape(data)
+        ref = decode_image(data)
+        assert ref.shape == (hh, ww, 3)
+        out = np.empty((3, hh, ww), dtype=np.uint8)
+        decode_into_planes(data, out)
+        assert np.array_equal(out, ref.transpose(2, 0, 1))
+    wrong = np.empty((3, 5, 5), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        decode_into_planes(payloads[0], wrong)
+    with pytest.raises(ValueError):
+        image_shape(b"not an image at all")
