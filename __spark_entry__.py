@@ -741,15 +741,35 @@ def q_hamming(spark, sf_dir):
         "event_id", hamming64(a, b).cast("int").alias("hamming"))
 
 
+# sf tier -> deterministic north-rule fixture tier (FIXTURES.md): the
+# flagship's driver row scales with the driver's correctness scale
+_NR_TIERS = {"sf0.001": "smoke", "sf0.01": "correctness", "sf0.1": "bench"}
+
+
+def northrule_tier(sf_dir: str) -> str:
+    return _NR_TIERS.get(os.path.basename(sf_dir.rstrip("/")), "smoke")
+
+
 def q_northrule(spark, sf_dir):
-    """The flagship image+caption feature pipeline on the deterministic
-    smoke fixture (self-contained; generated+cached under /tmp)."""
+    """The flagship image+caption feature pipeline over the deterministic
+    north-rule fixture at the tier matching ``sf_dir`` (generated+cached
+    under /tmp; sf0.01 -> the 10k-image/60k-event 'correctness' tier).
+
+    Output shape per the repo oracle convention: the 13-dim
+    ``feature_vector`` is posexploded to scalar (pos, value) rows with
+    values rounded to 4dp — every feature, including the six decoded
+    pixel stats, is oracle-checked (the fixture stores the single-image
+    oracle stats; the pipeline recomputes them from ``bytes`` through the
+    batched Arrow kernel)."""
     from dagli_spark.fixtures import materialize
     from dagli_spark.northrule import run as northrule_run
 
-    paths = materialize(spark, "smoke")
+    paths = materialize(spark, northrule_tier(sf_dir))
     out = northrule_run(spark, paths)
-    return out.select("entity_id", "asof_time", "qseq", "feature_vector")
+    vec = F.transform(F.col("feature_vector"), lambda v: F.round(v, 4))
+    return out.select(
+        "entity_id", "asof_time", "qseq",
+        F.posexplode(vec).alias("pos", "value"))
 
 
 def q_vector_accessors(spark, sf_dir):
@@ -1367,6 +1387,77 @@ _ASOF_ORACLE = """
 """
 
 
+def _northrule_features_oracle() -> str:
+    """Full DuckDB replay of the flagship over the SAME fixture parquet
+    the Spark query reads (fixtures.fixture_root — the driver gate runs
+    the Spark side first, which materializes/caches the tier under /tmp).
+    Temporal features are re-derived with plain SQL windows + the as-of
+    LATERAL; the six pixel stats come from the fixture's stored
+    single-image-oracle columns, while Spark recomputes them from the raw
+    ``bytes`` through the batched Arrow decode kernel — so the row checks
+    the decode+reduction round trip end to end. Tier is pinned to
+    'correctness' (the driver's sf0.01 scale, northrule_tier)."""
+    from dagli_spark.fixtures import fixture_root
+
+    root = fixture_root("correctness")
+    win = "PARTITION BY entity_id ORDER BY event_time, eseq"
+    px = ["px_mean_r", "px_mean_g", "px_mean_b", "px_std",
+          "px_brightness", "px_edge_energy"]
+    fv = ",\n                    ".join(
+        f"COALESCE(m.{c}, 'NaN'::DOUBLE)"
+        for c in ["label", "label_lag1", "label_avg5", "cnt_1h",
+                  "session_id", "secs_since_prev", "hamming_prev", *px])
+    return f"""
+        WITH ev AS (
+            SELECT e.entity_id, e.event_time, e.eseq, e.label,
+                   i.phash, {", ".join("i." + c for c in px)}
+            FROM '{root}/image_events/*.parquet' e
+            JOIN '{root}/images/*.parquet' i USING (image_id)
+        ),
+        w1 AS (
+            SELECT *,
+                   epoch_us(event_time) // 1000000 AS epoch_s,
+                   lag(label) OVER ({win}) AS label_lag1,
+                   avg(label) OVER ({win}
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS label_avg5,
+                   COALESCE(CAST(bit_count(xor(phash, lag(phash) OVER ({win})))
+                                 AS DOUBLE), -1.0) AS hamming_prev,
+                   CASE WHEN lag(event_time) OVER ({win}) IS NULL
+                          OR event_time > lag(event_time) OVER ({win})
+                               + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM ev
+        ),
+        w2 AS (
+            SELECT *,
+                   CAST(sum(is_new) OVER ({win}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                     AS DOUBLE) AS session_id,
+                   COALESCE(CAST(epoch_s - lag(epoch_s) OVER ({win}) AS DOUBLE),
+                            -1.0) AS secs_since_prev,
+                   CAST(count(*) OVER (PARTITION BY entity_id ORDER BY epoch_s
+                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) AS cnt_1h
+            FROM w1
+        ),
+        q AS (SELECT entity_id, asof_time, qseq
+              FROM '{root}/queries/*.parquet'),
+        j AS (
+            SELECT q.entity_id, q.asof_time, q.qseq,
+                   [{fv}] AS fv
+            FROM q LEFT JOIN LATERAL (
+                SELECT * FROM w2 f
+                WHERE f.entity_id = q.entity_id
+                  AND f.event_time <= q.asof_time
+                ORDER BY f.event_time DESC, f.eseq DESC LIMIT 1
+            ) m ON TRUE
+        )
+        SELECT entity_id, asof_time, qseq, CAST(r.pos AS INT) AS pos,
+               round(fv[r.pos + 1], 4) AS value
+        FROM j CROSS JOIN (SELECT unnest(range(13)) AS pos) r
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
@@ -1960,13 +2051,13 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _knn_lsh_oracle(),
         "minhash_portable": _minhash_portable_oracle(),
         "simhash_portable": _simhash_portable_oracle(),
+        "northrule_features": _northrule_features_oracle(),
         # minhash_pairs / simhash_pairs: xxhash64-family
         # dependent (documented different hash family than the reference's
         # MurmurHash3) — rows-only; tokens_locale: rule regex needs
         # lookahead (absent from DuckDB's RE2) — rows-only with a pytest
-        # Python oracle; northrule_features is array-valued over a /tmp
-        # fixture (rows-only; its temporal subset is oracle-checked via
-        # northrule_temporal and the pixel stage is PSNR-pinned in tests).
+        # Python oracle (tests/test_tokens_locale.py), while the RE2-safe
+        # ASCII subset is oracle-checked via tokens_ascii.
     }
 
 

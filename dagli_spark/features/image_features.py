@@ -76,6 +76,17 @@ def _decode_one(data: bytes) -> tuple:
 # image copy at all
 _STACK_CHUNK = 1024
 
+# Decompression-bomb guard: the channel-first stack is preallocated from
+# container-HEADER dims alone, so a corrupt payload whose header parses but
+# declares absurd dimensions (a truncated PNG claiming 65535x65535 would be
+# a ~12.9 GB np.empty) must be rejected BEFORE allocation — one bad image
+# must never fail the Spark stage. An image is implausible when its raw
+# plane bytes exceed either a hard cap or max_compression x payload size
+# (PNG/QJPG of real pixel data never reaches 2048:1; the fixtures' worst
+# constant-tile images are ~50:1).
+_MAX_PLANE_BYTES = 1 << 28  # 256 MiB raw per image (~9.5k x 9.5k RGB)
+_MAX_COMPRESSION = 2048
+
 
 def _features_batch(datas: "pd.Series") -> list[tuple]:
     """Per-Arrow-batch featurization: group payloads by shape from the
@@ -112,6 +123,9 @@ def _features_batch(datas: "pd.Series") -> list[tuple]:
             continue
         try:
             hw = image_shape(bytes(b))
+            if (hw[0] * hw[1] * 3
+                    > min(_MAX_PLANE_BYTES, len(b) * _MAX_COMPRESSION)):
+                raise ValueError("implausible header dims for payload size")
         except Exception:
             # corrupt/truncated payload: emit an all-null feature row —
             # one bad image must never fail the whole Spark stage (same
@@ -122,7 +136,14 @@ def _features_batch(datas: "pd.Series") -> list[tuple]:
     for (hh, ww), all_idxs in by_shape.items():
         for c0 in range(0, len(all_idxs), _STACK_CHUNK):
             idxs = all_idxs[c0:c0 + _STACK_CHUNK]
-            cf = np.empty((len(idxs), 3, hh, ww), dtype=np.uint8)
+            try:
+                cf = np.empty((len(idxs), 3, hh, ww), dtype=np.uint8)
+            except MemoryError:
+                # belt-and-braces behind the plausibility gate: degrade the
+                # affected rows, never the stage
+                for i in idxs:
+                    out[i] = nulls
+                continue
             for j, i in enumerate(idxs):
                 try:
                     decode_into_planes(vals[i], cf[j])

@@ -22,8 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dagli_spark.images.codec import decode_image, encode_image
-from dagli_spark.images.phash import phash64
+from dagli_spark.features.image_features import _decode_one
+from dagli_spark.images.codec import encode_image
 
 _SM = np.uint64(0x9E3779B97F4A7C15)
 
@@ -101,19 +101,29 @@ def _gen_image_rows(seed: int, ids: np.ndarray) -> pd.DataFrame:
         arr = _make_pixels(seed, i, int(ws[j]), int(hs[j]))
         fmt = "png" if fmt_png[j] else "jpeg"
         data = encode_image(arr, fmt, quality=90)
-        # phash of the DECODED bytes (lossy path included) so features are
-        # verifiable from the bytes column alone (FIXTURES.md §1).
-        ph = phash64(decode_image(data))
+        # phash AND pixel stats of the DECODED bytes (lossy path included)
+        # so features are verifiable from the bytes column alone
+        # (FIXTURES.md §1): stored via the single-image oracle path
+        # (features/image_features._decode_one); the pipeline recomputes
+        # them from ``bytes`` through the batched Arrow kernel, so a
+        # DuckDB oracle reading the stored columns checks the full
+        # decode+reduction round trip end to end.
+        mr, mg, mb, std, bright, edge, ph = _decode_one(data)
         widx = (_mix(seed, 14, i, np.arange(int(n_words[j]))) % np.uint64(64)).astype(np.int64)
         caption = " ".join(VOCAB[k] for k in widx)
-        rows.append((f"img_{i:012d}", data, int(ws[j]), int(hs[j]), fmt, caption, ph))
+        rows.append((f"img_{i:012d}", data, int(ws[j]), int(hs[j]), fmt,
+                     caption, ph, mr, mg, mb, std, bright, edge))
     return pd.DataFrame(
-        rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+        rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption",
+                       "phash", "px_mean_r", "px_mean_g", "px_mean_b",
+                       "px_std", "px_brightness", "px_edge_energy"]
     )
 
 
 IMAGES_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
-                 "caption string, phash long")
+                 "caption string, phash long, px_mean_r double, "
+                 "px_mean_g double, px_mean_b double, px_std double, "
+                 "px_brightness double, px_edge_energy double")
 
 
 def generate_images(spark: SparkSession, n: int, *, seed: int = 42,
@@ -252,7 +262,7 @@ def generate_events_and_queries(
 
 # bump when any generator function changes output for the same
 # (seed, scale): the materialize cache key includes it
-GEN_VERSION = 1
+GEN_VERSION = 2
 
 SCALES = {
     # images, entities, events, queries — mirroring TESTDATA sf tiers
@@ -270,6 +280,17 @@ SCALES = {
 }
 
 
+def fixture_root(scale: str, *, seed: int = 42,
+                 base_dir: str = "/tmp/dagli_spark_fixtures") -> str:
+    """Deterministic cache directory for a (seed, scale) fixture — shared
+    by :func:`materialize` and the driver-contract oracle SQL (which reads
+    the same parquet from DuckDB), so the two can never drift."""
+    n_img, n_ent, n_ev, n_q = SCALES[scale]
+    return os.path.join(
+        base_dir,
+        f"seed{seed}_{scale}_{n_img}x{n_ent}x{n_ev}x{n_q}_g{GEN_VERSION}")
+
+
 def materialize(spark: SparkSession, scale: str, *, seed: int = 42,
                 base_dir: str = "/tmp/dagli_spark_fixtures") -> dict[str, str]:
     """Generate-once, cache-as-parquet. Returns table name -> path.
@@ -284,9 +305,7 @@ def materialize(spark: SparkSession, scale: str, *, seed: int = 42,
     # editing SCALES or the generators must never silently reuse stale
     # parquet (the checkpointer solves the same problem with
     # content_key + input_signature)
-    root = os.path.join(
-        base_dir,
-        f"seed{seed}_{scale}_{n_img}x{n_ent}x{n_ev}x{n_q}_g{GEN_VERSION}")
+    root = fixture_root(scale, seed=seed, base_dir=base_dir)
     paths = {t: os.path.join(root, t) for t in ("images", "image_events", "queries")}
     if all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths.values()):
         return paths
