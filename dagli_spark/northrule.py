@@ -144,7 +144,16 @@ def _hot_carry_rows(events: DataFrame, is_hot, width_us: int, *,
     horizon rows. A row selected by both routes is deduplicated (frames
     must see each carried row exactly once)."""
     us = F.unix_micros(F.col("event_time").cast("timestamp"))
-    e = events.where(is_hot).withColumn("__b", F.floor(us / width_us))
+    # __rid: per-(entity, bucket) positional surrogate computed ONCE on the
+    # source — the tail/horizon routes may select the same source ROW for
+    # the same destination, and the dedup below must collapse exactly that
+    # (route duplicates), never two genuinely identical source rows (two
+    # events equal in every column are two real rows; dropDuplicates() over
+    # data columns would silently undercount cnt_1h/label_avg5 for them)
+    w_desc = Window.partitionBy("entity_id", "__b").orderBy(
+        F.col("event_time").desc(), F.col("eseq").desc())
+    e = (events.where(is_hot).withColumn("__b", F.floor(us / width_us))
+         .withColumn("__rid", F.row_number().over(w_desc)))
     # per-(entity, bucket) prefix counts — dictionary-sized (occupied
     # buckets only), window runs over the aggregated frame, not events
     ct = e.groupBy("entity_id", "__b").agg(F.count(F.lit(1)).alias("__cnt"))
@@ -153,19 +162,16 @@ def _hot_carry_rows(events: DataFrame, is_hot, width_us: int, *,
             .withColumn("__before", F.col("__thru") - F.col("__cnt")))
     dsts = ct.select("entity_id", F.col("__b").alias("__dst"),
                      F.col("__before").alias("__k"))
-    w_desc = Window.partitionBy("entity_id", "__b").orderBy(
-        F.col("event_time").desc(), F.col("eseq").desc())
     tails = (
-        e.withColumn("__rnd", F.row_number().over(w_desc))
-        .where(F.col("__rnd") <= last_n)
+        e.where(F.col("__rid") <= last_n)
         .join(F.broadcast(ct.select("entity_id", "__b", "__thru")),
               ["entity_id", "__b"])
-        .withColumn("__rn", F.col("__thru") - F.col("__rnd") + 1)
+        .withColumn("__rn", F.col("__thru") - F.col("__rid") + 1)
         .withColumn("__k", F.explode(F.array(
             *[F.col("__rn") + j for j in range(last_n)])))
         .join(F.broadcast(dsts), ["entity_id", "__k"])
         .where(F.col("__dst") > F.col("__b"))
-        .drop("__rnd", "__thru", "__rn", "__k")
+        .drop("__thru", "__rn", "__k")
     )
     carried = tails
     if with_horizon:
@@ -180,9 +186,13 @@ def _hot_carry_rows(events: DataFrame, is_hot, width_us: int, *,
             e.join(F.broadcast(carry_map), ["entity_id", "__b"])
             .where(F.floor(us / 1_000_000) >= dst_start_s - _RANGE_LOOKBACK_S)
         )
-        carried = carried.unionByName(horizon).dropDuplicates()
+        # dedupe on the ROUTE key (source row identity x destination), not
+        # the data columns: a row picked by both routes appears once per
+        # destination; identical source rows keep their multiplicity
+        carried = carried.unionByName(horizon).dropDuplicates(
+            ["entity_id", "__b", "__rid", "__dst"])
     return (
-        carried.drop("__b").withColumnRenamed("__dst", "__b")
+        carried.drop("__b", "__rid").withColumnRenamed("__dst", "__b")
         .withColumn("__carry", F.lit(True))
     )
 
@@ -281,7 +291,9 @@ def detect_hot_entities(events: DataFrame, min_rows: int, *,
         .agg(F.count(F.lit(1)).alias("cnt"),
              F.min(t).alias("mn"), F.max(t).alias("mx"))
         .where(F.col("cnt") >= min_rows)
-        .orderBy(F.col("cnt").desc()).limit(top)
+        # entity_id tiebreak: equal counts at the `top` boundary must pick
+        # the same hot set every run (plans and perf stay reproducible)
+        .orderBy(F.col("cnt").desc(), F.col("entity_id").asc()).limit(top)
         .collect()
     )
 
@@ -289,7 +301,8 @@ def detect_hot_entities(events: DataFrame, min_rows: int, *,
 def event_features(events: DataFrame, images: DataFrame,
                    *, with_pixels: bool = True,
                    hot_min_rows: int | None = 500_000,
-                   hot_target_rows: int = 65_536) -> DataFrame:
+                   hot_target_rows: int = 65_536,
+                   hot_rows: list | None = None) -> DataFrame:
     """Steps 1-2: per-event windowed features. With ``with_pixels`` the
     per-image decode stats ride along from the start (computed once per
     distinct image), so the whole pipeline is a single forward pass.
@@ -307,7 +320,13 @@ def event_features(events: DataFrame, images: DataFrame,
     entity is a net LOSS locally; the crossover is around several 10^5
     rows per entity. At 10^12-row scale a hot entity owning even 0.1% of
     events is ~10^9 rows in ONE task — hours — so the default fires long
-    before that; set it to match your cluster's per-task comfort zone."""
+    before that; set it to match your cluster's per-task comfort zone.
+
+    ``hot_rows`` (the output of :func:`detect_hot_entities`, possibly
+    ``[]``) skips the detection aggregate: composing this plan otherwise
+    triggers an eager collect() over events on every call — pass a
+    precomputed list when building the same pipeline repeatedly (tests,
+    a feature service re-planning per request)."""
     if with_pixels:
         dim = image_stats(events, images)
     else:
@@ -316,7 +335,10 @@ def event_features(events: DataFrame, images: DataFrame,
     # vanish — dropping it would shift every downstream lag/session/count
     # feature for its neighbors; unresolved rows just get null phash/pixel
     # stats (hamming_prev already coalesces null -> -1)
-    hot = detect_hot_entities(events, hot_min_rows) if hot_min_rows else []
+    if hot_rows is not None:
+        hot = hot_rows
+    else:
+        hot = detect_hot_entities(events, hot_min_rows) if hot_min_rows else []
     if not hot:
         return _plain_event_windows(events.join(dim, "image_id", "left"))
     span_us = max(int(r["mx"]) - int(r["mn"]) for r in hot) + 1_000_000
@@ -406,6 +428,7 @@ def build_features(
     strict: bool = False, time_buckets: int = 0, bucket_width=None,
     with_pixels: bool = True, decode_scope: str = "events",
     hot_min_rows: int | None = 500_000, hot_target_rows: int = 65_536,
+    hot_rows: list | None = None,
 ) -> DataFrame:
     """Full pipeline; returns one row per query row with feature_vector,
     phash_embedding, and the leakage-audit matched-time column.
@@ -419,7 +442,8 @@ def build_features(
         cheaper when queries are sparse relative to events; costs one
         persist of the as-of output (two consumers).
     """
-    skew = {"hot_min_rows": hot_min_rows, "hot_target_rows": hot_target_rows}
+    skew = {"hot_min_rows": hot_min_rows, "hot_target_rows": hot_target_rows,
+            "hot_rows": hot_rows}
     if with_pixels and decode_scope == "events":
         feats = event_features(events, images, with_pixels=True, **skew)
         out = asof_features(queries, feats, strict=strict,

@@ -106,6 +106,27 @@ def test_batch_features_bit_match_single():
         assert row == single, (row, single)
 
 
+def test_decompression_bomb_degrades_to_null_row():
+    """A payload whose header parses but declares absurd dims (truncated
+    PNG claiming 60000x60000 -> ~10.8 GB stack slice) must yield a null
+    feature row, never an allocation failure that kills the stage — the
+    stack is preallocated from header dims alone (round-3 advice)."""
+    import struct
+    import zlib
+
+    from dagli_spark.features.image_features import _features_batch
+
+    ihdr = struct.pack(">II", 60000, 60000) + bytes([8, 2, 0, 0, 0])
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+            + b"\x00" * 64)  # truncated body
+    ok = encode_png(np.zeros((8, 8, 3), dtype=np.uint8))
+    got = _features_batch(pd.Series([ok, bomb, ok]))
+    assert got[1] == (None,) * 7
+    assert got[0] == got[2] and got[0][0] is not None  # neighbors intact
+
+
 def test_qjpg_psnr_gate():
     """input_hint: PSNR >= 40 dB for the lossy path at q90."""
     rng = np.random.RandomState(11)
@@ -379,6 +400,75 @@ def test_bucketed_windows_thin_buckets_transitive_carry(spark):
         a = sorted(str(r) for r in plain.select(*cols).collect())
         b = sorted(str(r) for r in buck.select(*cols).collect())
         assert a == b, f"{name}: bucketed diverges from plain"
+
+
+def test_bucketed_windows_duplicate_source_rows_survive(spark):
+    """Two source rows identical in EVERY column are two real events. The
+    carry union dedupes on the ROUTE key (source row position x
+    destination), so a row selected by both the tail and horizon routes
+    appears exactly once per destination while genuine duplicates keep
+    their multiplicity — a dropDuplicates() over data columns collapsed
+    them and undercounted cnt_1h/label_avg5 in the bucketed path
+    (round-3 advice)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from dagli_spark.northrule import (
+        _bucketed_event_windows,
+        _plain_event_windows,
+    )
+
+    width_us = 7200 * 1_000_000
+    schema = T.StructType([
+        T.StructField("entity_id", T.StringType()),
+        T.StructField("event_time", T.TimestampNTZType()),
+        T.StructField("eseq", T.LongType()),
+        T.StructField("image_id", T.StringType()),
+        T.StructField("label", T.DoubleType()),
+    ])
+    dim = spark.createDataFrame(
+        [(f"img{i}", i * 1234567) for i in range(3)],
+        ["image_id", "phash"])
+    base = dt.datetime(2026, 1, 1)
+    # bucket 0: 100, 200, then TWO fully identical rows at 7190 s (same
+    # eseq/image/label) sitting in both bucket 0's 4-row tail and bucket
+    # 1's 1h horizon; bucket 1: 7300, 7400 read them through both frames
+    rows = [
+        ("E", base + dt.timedelta(seconds=100), 0, "img0", 1.0),
+        ("E", base + dt.timedelta(seconds=200), 1, "img1", 2.0),
+        ("E", base + dt.timedelta(seconds=7190), 5, "img2", 3.0),
+        ("E", base + dt.timedelta(seconds=7190), 5, "img2", 3.0),
+        ("E", base + dt.timedelta(seconds=7300), 6, "img0", 4.0),
+        ("E", base + dt.timedelta(seconds=7400), 7, "img1", 5.0),
+    ]
+    ev = spark.createDataFrame(rows, schema)
+    plain = _plain_event_windows(ev.join(dim, "image_id", "left"))
+    buck = _bucketed_event_windows(ev, dim, ["E"], width_us)
+    cols = sorted(plain.columns)
+    a = sorted(str(r) for r in plain.select(*cols).collect())
+    b = sorted(str(r) for r in buck.select(*cols).collect())
+    assert a == b, "bucketed path diverges from plain on duplicate rows"
+    # and the duplicate really is load-bearing: cnt_1h at t=7300 must see
+    # BOTH 7190 rows (undercount is exactly the old dropDuplicates bug)
+    c73 = [r for r in buck.collect()
+           if r["eseq"] == 6][0]["cnt_1h"]
+    assert c73 == 3, f"cnt_1h at 7300 saw {c73} rows, want 3"
+
+
+def test_detect_hot_entities_tiebreak(spark):
+    """Equal counts at the `top` boundary resolve by entity_id — the hot
+    set (and therefore the plan) is identical run to run."""
+    import datetime as dt
+
+    from dagli_spark.northrule import detect_hot_entities
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [(e, base + dt.timedelta(seconds=i), i)
+            for e in ("b", "a", "d", "c") for i in range(3)]
+    ev = spark.createDataFrame(rows, "entity_id string, event_time timestamp_ntz, eseq long")
+    got = [r["entity_id"] for r in detect_hot_entities(ev, 1, top=2)]
+    assert got == ["a", "b"]
 
 
 def test_decode_into_planes_matches_decode_image():
