@@ -938,6 +938,34 @@ def q_tokens_locale(spark, sf_dir):
         F.posexplode(T.tokens_locale("text", "en")).alias("pos", "token"))
 
 
+def q_tokens_ascii(spark, sf_dir):
+    """The rule-engine tokenizer under its GENERIC locale (the reference's
+    JFlexTokenizer default-lexer path, JFlexTokenizer.java:30-37) over
+    printable-ASCII documents: the shared JFlex macro rules contain no
+    lookahead, so the SAME alternation replays verbatim in DuckDB RE2 —
+    the driver-checkable face of the tokens_locale family (the EN/DE
+    clitic rules need lookahead and stay Python-oracle-pinned)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").rlike("^[ -~]*$"))
+    return d.select(
+        "doc_id",
+        F.posexplode(T.tokens_locale("text", "xx")).alias("pos", "token"))
+
+
+def _tokens_ascii_oracle() -> str:
+    from dagli_spark.functions.text import locale_pattern_source
+
+    pat = locale_pattern_source("xx").replace("'", "''")
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          regexp_extract_all(text, '{pat}', 0, 'i') AS toks
+                   FROM documents
+                   WHERE regexp_matches(text, '^[ -~]*$'))
+        SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+               unnest(toks) AS token
+        FROM t
+    """
+
+
 def q_northrule_temporal(spark, sf_dir):
     """The flagship pipeline's TEMPORAL feature subset (sessionize + lag +
     rolling + strict as-of), oracle-checkable over the standard events table
@@ -997,7 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_ngrams": q_char_ngrams,
         "ngram_padding": q_ngram_padding,
         "text_normalize": q_text_normalize,
-        "tokens_locale": q_tokens_locale,
+        "tokens_ascii": q_tokens_ascii,
         "many_hot": q_many_hot,
         "grouped_multiplicity": q_grouped_multiplicity,
         "null_filtered_normalized": q_null_filtered_normalized,
@@ -1058,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_norm": q_centroid_norm,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "tokens_locale": q_tokens_locale,
     }
 
 
@@ -2052,6 +2081,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_portable": _minhash_portable_oracle(),
         "simhash_portable": _simhash_portable_oracle(),
         "northrule_features": _northrule_features_oracle(),
+        "tokens_ascii": _tokens_ascii_oracle(),
         # minhash_pairs / simhash_pairs: xxhash64-family
         # dependent (documented different hash family than the reference's
         # MurmurHash3) — rows-only; tokens_locale: rule regex needs

@@ -263,6 +263,19 @@ _DE_RULES = [
 _TOKENIZER_CACHE: dict = {}
 
 
+def locale_pattern_source(locale: str) -> str:
+    """The locale's ordered-alternation regex source. The GENERIC locale
+    (any lang without extra rules, e.g. ``"xx"``) uses the shared JFlex
+    macros only and contains NO lookahead — it is therefore RE2-safe and
+    replayable in DuckDB's regexp_extract_all verbatim (the driver
+    oracle for ``tokens_ascii``); EN/DE add lookahead clitic/abbrev rules
+    and stay Python-oracle-only (tests/test_tokens_locale.py)."""
+    lang = (locale or "en").split("-")[0].split("_")[0].lower()
+    extra = {"en": _EN_RULES, "de": _DE_RULES}.get(lang, [])
+    rules = _SHARED_RULES_PRE + extra + _SHARED_RULES_POST
+    return "|".join(f"(?:{r})" for r in rules)
+
+
 def _locale_pattern(locale: str):
     """Compiled per-locale rule set (executor-local cache)."""
     import re
@@ -270,9 +283,7 @@ def _locale_pattern(locale: str):
     lang = (locale or "en").split("-")[0].split("_")[0].lower()
     pat = _TOKENIZER_CACHE.get(lang)
     if pat is None:
-        extra = {"en": _EN_RULES, "de": _DE_RULES}.get(lang, [])
-        rules = _SHARED_RULES_PRE + extra + _SHARED_RULES_POST
-        pat = re.compile("|".join(f"(?:{r})" for r in rules),
+        pat = re.compile(locale_pattern_source(lang),
                          re.IGNORECASE | re.UNICODE)
         _TOKENIZER_CACHE[lang] = pat
     return pat
