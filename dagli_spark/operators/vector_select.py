@@ -90,18 +90,105 @@ def averaged_dense_vector(df: DataFrame, vec_col: str) -> list[float]:
 @dataclass
 class KeepSetModel:
     """Filter a sparse vector to a fitted keep-set of indices
-    (TopVectorElementsByValue.java:20 etc.: apply = LazyFilteredVector)."""
+    (TopVectorElementsByValue.java:20 etc.: apply = LazyFilteredVector).
+
+    Membership strategy scales with the keep-set (auto-picked from one
+    dictionary-sized aggregate; override with ``strategy=``):
+
+    - ``literal`` (K <= 256): in-lambda ``array_contains`` over a literal
+      array — O(K) per map entry but join-free; cheapest at small K.
+    - ``mask`` (dense indices): literal boolean mask + ``try_element_at``
+      — O(1) per map entry; the literal ships once per task in the plan,
+      never per row (a broadcast-joined mask COLUMN would be copied into
+      every output row by the join). Picked when max_idx is within
+      max(64K, 2^20) so mask memory stays O(K).
+    - ``join`` (huge/sparse keep-sets): explode -> broadcast hash
+      semi-mark -> regroup by row id (the DensifyModel single-linear-plan
+      shape) — O(1) per entry, shuffle bounded by nnz, keep-set never
+      collected to the driver. Kept-entry order is normalized to key
+      order (map_filter preserves source order; no engine op compares
+      maps structurally)."""
     vec_col: str
     keep: DataFrame  # idx
 
-    def apply(self, df: DataFrame, *, out: str | None = None) -> DataFrame:
+    _SMALL_K = 256
+    _MASK_FLOOR = 1 << 20  # dense path allowed up to max(64K, 1M) slots
+
+    def apply(self, df: DataFrame, *, out: str | None = None,
+              strategy: str | None = None) -> DataFrame:
         out = out or f"{self.vec_col}_top"
-        keep_arr = F.array(*[F.lit(int(r["idx"]))
-                             for r in self.keep.collect()])
-        return df.withColumn(
-            out,
-            F.map_filter(F.col(self.vec_col),
-                         lambda k, v: F.array_contains(keep_arr, k)),
+        if strategy is None or strategy != "join":
+            stats = self.keep.agg(
+                F.count(F.lit(1)).alias("k"),
+                F.min("idx").alias("mn"), F.max("idx").alias("mx")).first()
+            k = int(stats["k"])
+            mn = int(stats["mn"]) if stats["mn"] is not None else 0
+            mx = int(stats["mx"]) if stats["mx"] is not None else -1
+        if strategy is None:
+            if k <= self._SMALL_K:
+                strategy = "literal"
+            elif mn >= 0 and mx + 1 <= max(64 * k, self._MASK_FLOOR):
+                strategy = "mask"
+            else:
+                strategy = "join"
+
+        if strategy == "literal":
+            keep_arr = F.array(*[F.lit(int(r["idx"]))
+                                 for r in self.keep.collect()])
+            return df.withColumn(
+                out,
+                F.map_filter(F.col(self.vec_col),
+                             lambda kk, v: F.array_contains(keep_arr, kk)),
+            )
+
+        if strategy == "mask":
+            bound = mx + 1
+            mask = [False] * bound
+            for r in self.keep.collect():
+                if 0 <= int(r["idx"]) < bound:
+                    mask[int(r["idx"])] = True
+            mask_lit = F.lit(mask)
+
+            def member(kk, v):
+                return F.coalesce(
+                    F.when((kk >= 0) & (kk < F.lit(bound)),
+                           F.try_element_at(mask_lit,
+                                            (kk + 1).cast("int"))),
+                    F.lit(False))
+
+            return df.withColumn(
+                out, F.map_filter(F.col(self.vec_col), member))
+
+        # strategy == "join"
+        rid, payload = "__ks_rid", "__ks_row"
+        src = df.select(
+            F.monotonically_increasing_id().alias(rid),
+            F.struct(*df.columns).alias(payload),
+            F.col(self.vec_col),
+        )
+        ex = src.select(
+            rid, payload,
+            F.explode_outer(F.col(self.vec_col)).alias("idx", "val"),
+        )
+        marked = self.keep.select("idx", F.lit(True).alias("__keep"))
+        j = ex.join(F.broadcast(marked), "idx", "left")
+        entries = F.collect_list(
+            F.when(F.col("__keep"),
+                   F.struct(F.col("idx").alias("key"),
+                            F.col("val").alias("value"))))
+        packed = j.groupBy(rid).agg(
+            F.first(payload).alias(payload),
+            F.map_from_entries(F.sort_array(entries)).alias("__ks_out"),
+        )
+        # null-in -> null-out, like map_filter (regroup alone would
+        # resurrect null maps as empty ones); out replaces any existing
+        # column of the same name, matching withColumn on the other paths
+        kept_cols = [F.col(f"{payload}.{c}").alias(c)
+                     for c in df.columns if c != out]
+        return packed.select(
+            *kept_cols,
+            F.when(F.col(f"{payload}.{self.vec_col}").isNotNull(),
+                   F.col("__ks_out")).alias(out),
         )
 
 

@@ -247,3 +247,48 @@ def test_rank_apply_exact_for_big_longs_with_null_probes(spark):
     for p in probes:
         exp = 0 if p is None else sum(1 for v in pop if v < p)
         assert got[p] == exp, (p, got[p], exp)
+
+
+def test_keepset_strategies_agree_and_scale_k10k(spark):
+    """KeepSetModel.apply: the three membership strategies (literal
+    array_contains, O(1) dense mask, explode+broadcast-join regroup)
+    produce identical kept entries — including empty-map and null-map
+    rows — and the auto pick at k=10^4 avoids the per-entry linear scan
+    (round-3 advice: array_contains over a 10^4 literal was O(K) per
+    map key)."""
+    from dagli_spark.operators.vector_select import fit_top_by_value
+
+    k = 10_000
+    n_rows = 2_000
+    # sparse vectors over a 40k index space; values weight low indices so
+    # top-k by summed value is deterministic
+    df = spark.range(n_rows).select(
+        F.col("id"),
+        F.map_from_arrays(
+            F.array(*[((F.col("id") % 6_000) * 6 + i).cast("long")
+                      for i in range(6)]),
+            F.array(*[F.lit(float(100 - i)) for i in range(6)]),
+        ).alias("vec"),
+    )
+    # add an empty-map row and a null-map row (edge semantics must agree)
+    edge = spark.createDataFrame(
+        [(1_000_001, {}), (1_000_002, None)], "id long, vec map<long,double>")
+    df = df.unionByName(edge)
+
+    m = fit_top_by_value(df, "vec", k)
+    outs = {}
+    for strat in ("literal", "mask", "join"):
+        rows = m.apply(df, out="top", strategy=strat).select(
+            "id",
+            F.to_json(F.sort_array(F.map_entries("top"))).alias("j"),
+        ).collect()
+        outs[strat] = sorted((r["id"], r["j"]) for r in rows)
+    assert outs["literal"] == outs["mask"] == outs["join"]
+    # auto pick at k=10^4 with dense-ish indices must be the mask path
+    stats = m.keep.agg(F.count(F.lit(1)).alias("k"),
+                       F.max("idx").alias("mx")).first()
+    assert int(stats["k"]) == k
+    assert int(stats["mx"]) + 1 <= max(64 * k, 1 << 20)  # mask-eligible
+    auto = m.apply(df, out="top")  # must compose+run without error
+    assert auto.where(F.col("id") == 1_000_002).first()["top"] is None
+    assert auto.count() == n_rows + 2
