@@ -604,6 +604,67 @@ def q_phone_plan(spark, sf_dir):
     )
 
 
+def q_phone_intl(spark, sf_dir):
+    """ContainsPhoneNumber with non-NANP region plans (GB/DE/FR digit
+    groupings behind the same leniency API; the reference's libphonenumber
+    wrapper is region-parameterized even though ContainsPhoneNumber.java:19
+    pins US). A doc_id-derived probe cycles a valid number per region plus
+    a no-phone branch; every (region, leniency) decision replays in DuckDB
+    with the byte-identical RE2-safe pattern."""
+    d = _t(spark, sf_dir, "documents")
+    four = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    probe = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("ring +44 20 7031 "), four, F.lit(" today")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("buero (030) 12345"), four.substr(1, 3)))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("appelez 01 42 68 "),
+                       four.substr(1, 2), F.lit(" "), four.substr(3, 2)))
+        .otherwise(F.concat(F.lit("ref #"), four.substr(1, 3)))
+    )
+    cols = [F.col("doc_id")]
+    for region in ("GB", "DE", "FR"):
+        for len_ in ("valid", "possible"):
+            cols.append(
+                T.contains_phone(probe, region=region, leniency=len_)
+                .alias(f"{region.lower()}_{len_}"))
+    return d.select(*cols)
+
+
+def _phone_intl_oracle() -> str:
+    from dagli_spark.functions.text import phone_pattern
+
+    checks = ",\n                   ".join(
+        f"regexp_matches(probe, '{phone_pattern(r, le)}') "
+        f"AS {r.lower()}_{le}"
+        for r in ("GB", "DE", "FR") for le in ("valid", "possible"))
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   CASE
+                     WHEN doc_id % 4 = 0 THEN 'ring +44 20 7031 ' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' today'
+                     WHEN doc_id % 4 = 1 THEN 'buero (030) 12345' ||
+                       substr(lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                              1, 3)
+                     WHEN doc_id % 4 = 2 THEN 'appelez 01 42 68 ' ||
+                       substr(lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                              1, 2) || ' ' ||
+                       substr(lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                              3, 2)
+                     ELSE 'ref #' ||
+                       substr(lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                              1, 3)
+                   END AS probe
+            FROM documents)
+        SELECT doc_id,
+               {checks}
+        FROM p
+    """
+
+
 def _sparse_events(spark, sf_dir):
     """Deterministic sparse-vector column for the densify/top-by-value
     family: map{event_id % 97 -> value}."""
@@ -1044,7 +1105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_fill": q_forward_fill,
         "sessionize": q_sessionize,
         "rolling_rows": q_rolling_rows,
-        "phone_plan": q_phone_plan,  # new this round — straight in-window
+        "phone_plan": q_phone_plan,
+        "phone_intl": q_phone_intl,  # new this round — straight in-window
         "index_dict": q_index_dict,
         "index_applied": q_index_applied,
         "rank_population": q_rank_population,
@@ -2082,6 +2144,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_portable": _simhash_portable_oracle(),
         "northrule_features": _northrule_features_oracle(),
         "tokens_ascii": _tokens_ascii_oracle(),
+        "phone_intl": _phone_intl_oracle(),
         # minhash_pairs / simhash_pairs: xxhash64-family
         # dependent (documented different hash family than the reference's
         # MurmurHash3) — rows-only; tokens_locale: rule regex needs

@@ -75,26 +75,93 @@ PHONE_VALID_RE = (_PHONE_BOUND_L + _PHONE_CC
                   + r"(\([2-9]\d{2}\)[-. ]?|[2-9]\d{2}[-. ]?)"
                   + r"[2-9]\d{2}[-. ]?\d{4}" + _PHONE_BOUND_R)
 
+# Non-NANP region plans (round-4): the reference hardcodes region "US"
+# into libphonenumber (ContainsPhoneNumber.java:19) but the wrapped
+# matcher is region-parameterized; these port the GB/DE/FR digit-group
+# plans the same structural way the NANP rules were ported — grouped
+# national formats with the region's trunk prefix OR the +cc form, same
+# candidate boundaries, RE2-safe (no lookaround). 'possible' mirrors
+# libphonenumber's length-only check over the region's possible-length
+# set. Golden cases in tests/test_dagli_golden.py mirror libphonenumber's
+# public example numbers (PhoneNumberUtilTest: GB +44 20 7031 3000,
+# DE +49 30 123456, FR +33 1 42 68 53 00).
+_GB_VALID_BODY = (
+    r"((\+44[-. ]?|0)"
+    r"(\d{2}[-. ]?\d{4}[-. ]?\d{4}"      # 02x XXXX XXXX (10-digit national)
+    r"|\d{3}[-. ]?\d{3}[-. ]?\d{4}"      # 01xx XXX XXXX
+    r"|\d{4}[-. ]?\d{5,6}"               # 01xxx XXXXX(X) / 07xxx XXXXXX
+    r"|\d{3}[-. ]?\d{6,7})"              # 0161 XXXXXXX
+    r"|\(0\d{2,4}\)[-. ]?\d{3,4}[-. ]?\d{4})"  # (020) 7946 0958
+)
+_DE_VALID_BODY = (
+    r"((\+49[-. ]?|0)"
+    r"(\d{2,5}[-. ]\d{3,4}[-. ]?\d{3,4}"  # area + split subscriber
+    r"|\d{2,5}[-. ]\d{5,8}"               # area + subscriber block
+    r"|1\d{2,3}[-. ]?\d{7,8})"            # mobile 015x/016x/017x
+    r"|\(0\d{2,5}\)[-. ]?\d{3,8})"        # (030) 123456
+)
+_FR_VALID_BODY = (
+    r"(\+33[-. ]?|0)"
+    r"[1-9]([-. ]?\d{2}){4}"              # 0X XX XX XX XX (9 national)
+)
+_PHONE_REGION_PLANS = {
+    "US": {
+        "valid": PHONE_VALID_RE,
+        "possible": PHONE_POSSIBLE_RE,
+    },
+    "GB": {
+        "valid": _PHONE_BOUND_L + _GB_VALID_BODY + _PHONE_BOUND_R,
+        # possible lengths for GB: 7-10 national digits, optional +44
+        "possible": (_PHONE_BOUND_L + r"(\+?44[-. ]?|0)?"
+                     + r"(\d[-. ]?){6,9}\d" + _PHONE_BOUND_R),
+    },
+    "DE": {
+        "valid": _PHONE_BOUND_L + _DE_VALID_BODY + _PHONE_BOUND_R,
+        # DE national numbers span 6-11 digits
+        "possible": (_PHONE_BOUND_L + r"(\+?49[-. ]?|0)?"
+                     + r"(\d[-. ]?){5,10}\d" + _PHONE_BOUND_R),
+    },
+    "FR": {
+        "valid": _PHONE_BOUND_L + _FR_VALID_BODY + _PHONE_BOUND_R,
+        # FR fixed 9 national digits (+trunk 0 -> 10)
+        "possible": (_PHONE_BOUND_L + r"(\+?33[-. ]?|0)?"
+                     + r"(\d[-. ]?){8,9}\d" + _PHONE_BOUND_R),
+    },
+}
+
+
+def phone_pattern(region: str = "US", leniency: str = "valid") -> str:
+    """The region plan's RE2-safe pattern source (shared verbatim with
+    the DuckDB oracle)."""
+    try:
+        plans = _PHONE_REGION_PLANS[region.upper()]
+    except KeyError:
+        raise ValueError(
+            f"region must be one of {sorted(_PHONE_REGION_PLANS)}, "
+            f"got {region!r}")
+    try:
+        return plans[leniency]
+    except KeyError:
+        raise ValueError(
+            f"leniency must be 'valid' or 'possible', got {leniency!r}")
+
 
 def contains_email(col) -> Column:
     """text/.../ContainsEmailAddress.java:14"""
     return matches_regex(col, EMAIL_RE)
 
 
-def contains_phone(col, *, leniency: str = "valid") -> Column:
-    """text-phone/.../ContainsPhoneNumber.java — US-region number-plan
-    heuristic (see PHONE_*_RE above). ``leniency`` mirrors the reference's
-    Leniency enum subset: 'valid' (default — structural NANP validity,
-    bars local numbers) or 'possible' (length-only; local 7-digit numbers
-    match). Swap in a libphonenumber pandas UDF for metadata-exact
-    semantics where that library is available."""
-    try:
-        pattern = {"valid": PHONE_VALID_RE,
-                   "possible": PHONE_POSSIBLE_RE}[leniency]
-    except KeyError:
-        raise ValueError(
-            f"leniency must be 'valid' or 'possible', got {leniency!r}")
-    return matches_regex(col, pattern)
+def contains_phone(col, *, region: str = "US",
+                   leniency: str = "valid") -> Column:
+    """text-phone/.../ContainsPhoneNumber.java — number-plan heuristic
+    (see PHONE_*_RE / _PHONE_REGION_PLANS above). The reference hardcodes
+    region US; ``region`` extends the same structural port to GB/DE/FR.
+    ``leniency`` mirrors the reference's Leniency enum subset: 'valid'
+    (default — structural plan validity, bars local numbers) or
+    'possible' (length-only; local numbers match). Swap in a
+    libphonenumber pandas UDF for metadata-exact semantics where that
+    library is available."""
+    return matches_regex(col, phone_pattern(region, leniency))
 
 
 _ACCENT_SRC = "áàâäãåāéèêëēíìîïīóòôöõøōúùûüūýÿñçćžšđÁÀÂÄÃÅĀÉÈÊËĒÍÌÎÏĪÓÒÔÖÕØŌÚÙÛÜŪÝŸÑÇĆŽŠĐ"

@@ -454,3 +454,54 @@ def test_contains_phone_reference_golden(spark):
     for (t, want_p, want_v), r in zip(cases, rows):
         assert r["p"] == want_p, (t, "possible")
         assert r["v"] == want_v, (t, "valid")
+
+
+def test_contains_phone_intl_region_golden(spark):
+    """GB/DE/FR region plans (round-4 extension of the NANP port): golden
+    numbers mirror libphonenumber's public example constants
+    (PhoneNumberUtilTest GB_NUMBER +44 20 7031 3000, DE_NUMBER
+    +49 30 123456, FR_NUMBER +33 1 42 68 53 00) plus mobile/paren
+    national forms; VALID bars trunk-less local digit runs that POSSIBLE
+    accepts, exactly like the US plan."""
+    from dagli_spark.functions.text import contains_phone
+
+    cases = {
+        "GB": [
+            ("+44 20 7031 3000", True, True),
+            ("020 7946 0958", True, True),
+            ("(020) 7946 0958", True, True),
+            ("07912 345678", True, True),
+            ("0161 496 0000", True, True),
+            ("1234 5678", True, False),       # local run: VALID bars
+            ("It was 2026-01-02", True, False),  # date digits: len-only
+            ("$500,000", False, False),
+        ],
+        "DE": [
+            ("+49 30 123456", True, True),
+            ("030 123456", True, True),
+            ("(030) 123456", True, True),
+            ("0171 2345678", True, True),
+            ("030-12345678", True, True),
+            ("30 123456", True, False),       # trunk-less: VALID bars
+            ("12345", False, False),
+        ],
+        "FR": [
+            ("+33 1 42 68 53 00", True, True),
+            ("01 42 68 53 00", True, True),
+            ("0142685300", True, True),
+            ("1 42 68 53 00", True, False),   # trunk-less 9: VALID bars
+            ("42 68 53 00", False, False),    # 8 digits: below possible
+            ("$0142685300", False, False),
+        ],
+    }
+    for region, rows_spec in cases.items():
+        df = spark.createDataFrame([(t,) for t, _, _ in rows_spec],
+                                   "t string")
+        rows = df.select(
+            contains_phone("t", region=region, leniency="possible")
+            .alias("p"),
+            contains_phone("t", region=region).alias("v"),
+        ).collect()
+        for (t, want_p, want_v), r in zip(rows_spec, rows):
+            assert r["p"] == want_p, (region, t, "possible")
+            assert r["v"] == want_v, (region, t, "valid")
