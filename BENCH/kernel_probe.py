@@ -1,0 +1,113 @@
+"""Spark-free probe of the decode-feature kernel's parallel scaling.
+
+Measures ``_features_batch`` throughput at N worker PROCESSES (the Spark
+local[N] stand-in: same numpy kernels, no JVM/Arrow overhead) for a given
+chunk policy, so chunk-size changes can be evaluated directly against the
+machine's memory-bandwidth ceiling — the measured 32-worker limit of the
+whole benchmark (BENCH/BASELINE.md).
+
+Usage:
+    python BENCH/kernel_probe.py [tier] [chunks ...] [--levels 1,8,32]
+e.g.
+    python BENCH/kernel_probe.py bench 1024 adaptive --levels 1,8,32
+
+Discipline (CLAUDE.md): quiet host (load < ~2), no concurrent tests or
+bench runs; each level runs a warmup pass and reports best-of-2.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _load_blobs(tier: str, limit: int) -> list[bytes]:
+    import pyarrow.dataset as ds
+
+    from dagli_spark.fixtures import fixture_root
+
+    root = os.path.join(fixture_root(tier), "images")
+    if not os.path.exists(root):
+        raise SystemExit(
+            f"fixture tier {tier!r} not materialized ({root}); run "
+            f"bench.py or materialize() first")
+    t = ds.dataset(root).to_table(columns=["bytes"])
+    blobs = t.column("bytes").to_pylist()
+    while len(blobs) < limit:
+        blobs = blobs + blobs
+    return blobs[:limit]
+
+
+def _worker(args):
+    blobs, chunk = args
+    import pandas as pd
+
+    from dagli_spark.features import image_features as imf
+
+    if chunk != "adaptive":
+        imf._STACK_CHUNK = int(chunk)
+        if hasattr(imf, "_CHUNK_BUDGET_BYTES"):
+            imf._CHUNK_BUDGET_BYTES = 1 << 62  # disable adaptive cap
+    s = pd.Series(blobs)
+    t0 = time.perf_counter()
+    out = imf._features_batch(s)
+    dt = time.perf_counter() - t0
+    assert len(out) == len(blobs)
+    return dt
+
+
+def run_level(blobs: list, n_procs: int, chunk) -> float:
+    per = len(blobs) // n_procs
+    parts = [(blobs[i * per:(i + 1) * per], chunk) for i in range(n_procs)]
+    best = None
+    for _ in range(2):
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(n_procs) as pool:
+            t0 = time.perf_counter()
+            pool.map(_worker, parts)
+            wall = time.perf_counter() - t0
+        best = wall if best is None else min(best, wall)
+    return best
+
+
+def main():
+    tier = sys.argv[1] if len(sys.argv) > 1 else "bench"
+    args = sys.argv[2:]
+    levels = [1, 8, 32]
+    chunks: list = []
+    for a in args:
+        if a.startswith("--levels"):
+            levels = [int(x) for x in a.split("=", 1)[1].split(",")]
+        else:
+            chunks.append(a)
+    chunks = chunks or ["adaptive"]
+    n_images = 32 * 640  # divisible by every level
+    blobs = _load_blobs(tier, n_images)
+    # warmup: touch every blob once single-threaded (page cache, imports)
+    _worker((blobs[:256], chunks[0]))
+    out = {"tier": tier, "n_images": n_images, "levels": {}}
+    for chunk in chunks:
+        for n in levels:
+            wall = run_level(blobs, n, chunk)
+            ips = n_images / wall
+            out["levels"][f"chunk={chunk},p={n}"] = {
+                "wall_sec": round(wall, 3), "images_per_sec": round(ips, 1)}
+            print(f"chunk={chunk:>9} p={n:>2}: {wall:7.3f} s  "
+                  f"{ips:9.1f} img/s", flush=True)
+    for chunk in chunks:
+        k1, k8, k32 = (f"chunk={chunk},p={n}" for n in (1, 8, 32))
+        lv = out["levels"]
+        if k8 in lv and k32 in lv:
+            eff = (lv[k32]["images_per_sec"] / lv[k8]["images_per_sec"]) / 4
+            print(f"chunk={chunk}: 8->32 raw efficiency {eff:.3f}")
+            out["levels"][f"chunk={chunk},eff_8_32"] = round(eff, 4)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1064,69 +1064,29 @@ def q_northrule_temporal(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate samples the FIRST 50
-    # entries.  Round-3 rotation: the 20 queries that had never received a
-    # driver row (flagship northrule_temporal/northrule_features first) now
-    # occupy the front, backfilled to 50 with the rows that changed this
-    # round or anchor a family (asof/*, densify, rank_population, kmeans,
-    # knn_ivf, ...).  The 20 entries past position 50 are double-green
-    # veterans from r01+r02 (still checked every run by the in-repo replica
-    # tests/test_oracle_parity.py); rotate them back in before adding any
-    # brand-new query behind them.
+    # entries.  Round-4 rotation: (a) flagships + everything touched this
+    # round first (northrule_features now emits oracle-checkable scalar
+    # rows; tokens_ascii replaces the tokens_locale no-oracle slot;
+    # phone_intl is new; top_by_value/top_by_pmi/densify ride the
+    # KeepSet/vector_select change); (b) the 18 r01/r02 veterans rotated
+    # out in r03 come back for re-check (oldest evidence first, per the
+    # round-3 verdict); (c) the r03 first-green rows keep their slot for a
+    # second consecutive row; (d) family anchors fill to 50.  EVERY
+    # in-window entry has a SQL oracle — the rows-only trio
+    # (minhash_pairs/simhash_pairs: xxhash64 family; tokens_locale:
+    # lookahead rules) sits past position 50, replica-pinned like all
+    # rotated-out greens (tests/test_oracle_parity.py).
     return {
-        # -- never driver-checked before round 3 (flagships first) --------
-        "northrule_temporal": q_northrule_temporal,
+        # -- (a) flagships + touched this round ---------------------------
         "northrule_features": q_northrule,
-        "bucket_index": q_bucket_index,
-        "ranking_eval": q_ranking_eval,
-        "multinomial_eval": q_multinomial_eval,
-        "topk_eval": q_topk_eval,
-        "indices": q_indices,
-        "hamming": q_hamming,
-        "word_ngrams": q_word_ngrams,
-        "char_ngrams": q_char_ngrams,
-        "ngram_padding": q_ngram_padding,
-        "text_normalize": q_text_normalize,
+        "northrule_temporal": q_northrule_temporal,
         "tokens_ascii": q_tokens_ascii,
-        "many_hot": q_many_hot,
-        "grouped_multiplicity": q_grouped_multiplicity,
-        "null_filtered_normalized": q_null_filtered_normalized,
-        "vector_accessors": q_vector_accessors,
-        "dist_vector_bridge": q_dist_vector_bridge,
-        "dist_sample": q_dist_sample,
-        "top_by_pmi": q_top_by_pmi,
-        # -- stable greens kept in-window (touched or family anchors) -----
-        "pricing_summary": q_pricing_summary,
-        "top_orders_per_cust": q_top_orders_per_cust,
-        "region_revenue": q_region_revenue,
-        "asof_strict": q_asof_strict,
-        "asof_tolerance": q_asof_tolerance,
-        "asof_bucketed": q_asof_bucketed,
-        "lag_lead": q_lag_lead,
-        "forward_fill": q_forward_fill,
-        "sessionize": q_sessionize,
-        "rolling_rows": q_rolling_rows,
+        "phone_intl": q_phone_intl,
         "phone_plan": q_phone_plan,
-        "phone_intl": q_phone_intl,  # new this round — straight in-window
-        "index_dict": q_index_dict,
-        "index_applied": q_index_applied,
-        "rank_population": q_rank_population,
-        "kfold": q_kfold,
-        "text_stats": q_text_stats,
-        "exact_dedup": q_exact_dedup,
-        "top_tokens": q_top_tokens,
-        "knn_bruteforce": q_knn_bruteforce,
-        "minhash_portable": q_minhash_portable,
-        "simhash_portable": q_simhash_portable,
-        "knn_lsh": q_knn_lsh,
-        "knn_ivf": q_knn_ivf,
-        "binary_auc": q_binary_auc,
-        "kmeans": q_kmeans,
-        "isotonic": q_isotonic,
-        "normalized": q_normalized,
-        "kfold_target_encode": q_kfold_target_encode,
-        "nearest_centroid": q_nearest_centroid,
+        "top_by_value": q_top_by_value,
+        "top_by_pmi": q_top_by_pmi,
         "densify": q_densify,
-        # -- rotated out this round (r01+r02 double-green; replica-checked)
+        # -- (b) r01/r02 veterans rotated back in (oldest evidence first) -
         "rolling_range": q_rolling_range,
         "session_stats": q_session_stats,
         "example_index": q_example_index,
@@ -1144,8 +1104,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_mean": q_grouped_mean,
         "avg_embedding": q_avg_embedding,
         "text_ops": q_text_ops,
-        "top_by_value": q_top_by_value,
         "centroid_norm": q_centroid_norm,
+        # -- (c) r03 first-greens: second consecutive row ------------------
+        "bucket_index": q_bucket_index,
+        "ranking_eval": q_ranking_eval,
+        "multinomial_eval": q_multinomial_eval,
+        "topk_eval": q_topk_eval,
+        "indices": q_indices,
+        "hamming": q_hamming,
+        "word_ngrams": q_word_ngrams,
+        "char_ngrams": q_char_ngrams,
+        "ngram_padding": q_ngram_padding,
+        "text_normalize": q_text_normalize,
+        "many_hot": q_many_hot,
+        "grouped_multiplicity": q_grouped_multiplicity,
+        "null_filtered_normalized": q_null_filtered_normalized,
+        "vector_accessors": q_vector_accessors,
+        "dist_vector_bridge": q_dist_vector_bridge,
+        "dist_sample": q_dist_sample,
+        # -- (d) family anchors to fill the window to 50 -------------------
+        "asof_strict": q_asof_strict,
+        "asof_bucketed": q_asof_bucketed,
+        "kmeans": q_kmeans,
+        "knn_ivf": q_knn_ivf,
+        "kfold_target_encode": q_kfold_target_encode,
+        "rank_population": q_rank_population,
+        "isotonic": q_isotonic,
+        "minhash_portable": q_minhash_portable,
+        # ---- past position 50: replica-checked every run -----------------
+        "pricing_summary": q_pricing_summary,
+        "top_orders_per_cust": q_top_orders_per_cust,
+        "region_revenue": q_region_revenue,
+        "asof_tolerance": q_asof_tolerance,
+        "lag_lead": q_lag_lead,
+        "forward_fill": q_forward_fill,
+        "sessionize": q_sessionize,
+        "rolling_rows": q_rolling_rows,
+        "index_dict": q_index_dict,
+        "index_applied": q_index_applied,
+        "kfold": q_kfold,
+        "text_stats": q_text_stats,
+        "exact_dedup": q_exact_dedup,
+        "top_tokens": q_top_tokens,
+        "knn_bruteforce": q_knn_bruteforce,
+        "simhash_portable": q_simhash_portable,
+        "knn_lsh": q_knn_lsh,
+        "binary_auc": q_binary_auc,
+        "normalized": q_normalized,
+        "nearest_centroid": q_nearest_centroid,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "tokens_locale": q_tokens_locale,

@@ -71,10 +71,26 @@ def _decode_one(data: bytes) -> tuple:
     )
 
 
-# cap per-stack chunk so float64 transients (the phash gray plane) stay
-# ~cache-sized; the statistics themselves never materialize a float64
-# image copy at all
+# Per-stack chunking. Bit-identity across chunk splits is the pinned
+# contract (integer-exact reductions), so the chunk size is purely a
+# bandwidth knob: at 32 concurrent workers the machine's DRAM bus — not
+# CPU — limits scaling, and with a large chunk every post-decode pass
+# (channel sums, square-sum einsum, gray build, dx/dy gradients, the
+# phash float64 gray + resize) re-streams the whole chunk from DRAM.
+# Sizing the chunk so the per-chunk transient set (~20 B/px: cf 3 +
+# gray3 2 + float64 gray 8 + |d| planes 4 + decode scratch) fits in a
+# core's private cache turns those re-reads into cache hits; each byte
+# then crosses the bus ~once (decode write + first read) instead of
+# ~6x. _STACK_CHUNK stays the upper bound for tiny images where per-call
+# numpy overhead would dominate.
 _STACK_CHUNK = 1024
+_CHUNK_BUDGET_BYTES = 1 << 21      # ~2 MiB transients -> L2-resident
+_TRANSIENT_BYTES_PER_PX = 20
+
+
+def _chunk_for(hh: int, ww: int) -> int:
+    by_budget = _CHUNK_BUDGET_BYTES // (_TRANSIENT_BYTES_PER_PX * hh * ww)
+    return max(4, min(_STACK_CHUNK, by_budget))
 
 # Decompression-bomb guard: the channel-first stack is preallocated from
 # container-HEADER dims alone, so a corrupt payload whose header parses but
@@ -134,8 +150,9 @@ def _features_batch(datas: "pd.Series") -> list[tuple]:
             continue
         by_shape.setdefault(hw, []).append(i)
     for (hh, ww), all_idxs in by_shape.items():
-        for c0 in range(0, len(all_idxs), _STACK_CHUNK):
-            idxs = all_idxs[c0:c0 + _STACK_CHUNK]
+        chunk = _chunk_for(hh, ww)
+        for c0 in range(0, len(all_idxs), chunk):
+            idxs = all_idxs[c0:c0 + chunk]
             try:
                 cf = np.empty((len(idxs), 3, hh, ww), dtype=np.uint8)
             except MemoryError:
