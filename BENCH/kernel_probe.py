@@ -9,7 +9,7 @@ whole benchmark (BENCH/BASELINE.md).
 Usage:
     python BENCH/kernel_probe.py [tier] [chunks ...] [--levels 1,8,32]
 e.g.
-    python BENCH/kernel_probe.py bench 1024 adaptive --levels 1,8,32
+    python BENCH/kernel_probe.py bench 1024 adaptive --levels=1,8,32
 
 Discipline (CLAUDE.md): quiet host (load < ~2), no concurrent tests or
 bench runs; each level runs a warmup pass and reports best-of-2.
@@ -85,9 +85,12 @@ def main():
     args = sys.argv[2:]
     levels = [1, 8, 32]
     chunks: list = []
-    for a in args:
+    it = iter(args)
+    for a in it:
         if a.startswith("--levels"):
-            levels = [int(x) for x in a.split("=", 1)[1].split(",")]
+            # accept both --levels=1,8,32 and --levels 1,8,32
+            spec = a.split("=", 1)[1] if "=" in a else next(it, "")
+            levels = [int(x) for x in spec.split(",") if x]
         else:
             chunks.append(a)
     chunks = chunks or ["adaptive"]

@@ -1006,7 +1006,11 @@ def q_tokens_ascii(spark, sf_dir):
     lookahead, so the SAME alternation replays verbatim in DuckDB RE2 —
     the driver-checkable face of the tokens_locale family (the EN/DE
     clitic rules need lookahead and stay Python-oracle-pinned)."""
-    d = _t(spark, sf_dir, "documents").where(F.col("text").rlike("^[ -~]*$"))
+    # engine-neutral ASCII filter: an UNANCHORED negative class ("contains
+    # any non-printable-ASCII char") means the same thing in java.util.regex
+    # and RE2 — '$' does not (Java matches before a final \n, RE2 does not),
+    # so an anchored '^[ -~]*$' would diverge on text ending in a newline
+    d = _t(spark, sf_dir, "documents").where(~F.col("text").rlike("[^ -~]"))
     return d.select(
         "doc_id",
         F.posexplode(T.tokens_locale("text", "xx")).alias("pos", "token"))
@@ -1020,7 +1024,7 @@ def _tokens_ascii_oracle() -> str:
         WITH t AS (SELECT doc_id,
                           regexp_extract_all(text, '{pat}', 0, 'i') AS toks
                    FROM documents
-                   WHERE regexp_matches(text, '^[ -~]*$'))
+                   WHERE NOT regexp_matches(text, '[^ -~]'))
         SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
                unnest(toks) AS token
         FROM t

@@ -139,6 +139,11 @@ def _features_batch(datas: "pd.Series") -> list[tuple]:
             continue
         try:
             hw = image_shape(bytes(b))
+            # degenerate dims (0xN headers from truncated payloads) must be
+            # rejected here too: they pass the size gate trivially and would
+            # hit zero divides in _chunk_for and the per-pixel means below
+            if hw[0] <= 0 or hw[1] <= 0:
+                raise ValueError("degenerate header dims")
             if (hw[0] * hw[1] * 3
                     > min(_MAX_PLANE_BYTES, len(b) * _MAX_COMPRESSION)):
                 raise ValueError("implausible header dims for payload size")

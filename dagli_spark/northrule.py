@@ -150,8 +150,18 @@ def _hot_carry_rows(events: DataFrame, is_hot, width_us: int, *,
     # (route duplicates), never two genuinely identical source rows (two
     # events equal in every column are two real rows; dropDuplicates() over
     # data columns would silently undercount cnt_1h/label_avg5 for them)
+    # the ordering must be a TOTAL order up to fully-identical rows: the
+    # tail and horizon subtrees each re-evaluate this window after their
+    # own shuffles, so a tie on (event_time, eseq) with differing payload
+    # columns could get its row_numbers swapped BETWEEN the two routes and
+    # the route-key dedup below would then drop one payload and keep the
+    # other twice. Appending the remaining data columns as tiebreaks makes
+    # the assignment reproducible; fully-identical rows may still swap,
+    # which is observationally invisible.
+    tiebreaks = [F.col(c).desc() for c in events.columns
+                 if c not in ("entity_id", "event_time", "eseq")]
     w_desc = Window.partitionBy("entity_id", "__b").orderBy(
-        F.col("event_time").desc(), F.col("eseq").desc())
+        F.col("event_time").desc(), F.col("eseq").desc(), *tiebreaks)
     e = (events.where(is_hot).withColumn("__b", F.floor(us / width_us))
          .withColumn("__rid", F.row_number().over(w_desc)))
     # per-(entity, bucket) prefix counts — dictionary-sized (occupied

@@ -113,11 +113,21 @@ class KeepSetModel:
 
     _SMALL_K = 256
     _MASK_FLOOR = 1 << 20  # dense path allowed up to max(64K, 1M) slots
+    # absolute mask ceiling: the boolean literal ships in the serialized
+    # plan (once per task, never per row) — past a few million slots the
+    # driver-side collect + plan size dominate and the join path (keep-set
+    # never collected) is strictly better; also keeps bound within int32
+    # for the try_element_at position cast
+    _MASK_CAP = 1 << 22
 
     def apply(self, df: DataFrame, *, out: str | None = None,
               strategy: str | None = None) -> DataFrame:
+        if strategy not in (None, "literal", "mask", "join"):
+            raise ValueError(
+                f"unknown keep-set strategy {strategy!r}: "
+                "expected 'literal', 'mask' or 'join'")
         out = out or f"{self.vec_col}_top"
-        if strategy is None or strategy != "join":
+        if strategy in (None, "mask"):
             stats = self.keep.agg(
                 F.count(F.lit(1)).alias("k"),
                 F.min("idx").alias("mn"), F.max("idx").alias("mx")).first()
@@ -127,7 +137,8 @@ class KeepSetModel:
         if strategy is None:
             if k <= self._SMALL_K:
                 strategy = "literal"
-            elif mn >= 0 and mx + 1 <= max(64 * k, self._MASK_FLOOR):
+            elif (mn >= 0 and mx + 1 <= min(
+                    self._MASK_CAP, max(64 * k, self._MASK_FLOOR))):
                 strategy = "mask"
             else:
                 strategy = "join"
@@ -143,6 +154,13 @@ class KeepSetModel:
 
         if strategy == "mask":
             bound = mx + 1
+            if bound > (1 << 31) - 1:
+                # the try_element_at position is cast to int; a wider bound
+                # would silently wrap — an explicit 'mask' override at that
+                # scale is a mistake, not a preference
+                raise ValueError(
+                    f"keep-set max index {mx} exceeds the mask strategy's "
+                    "int32 position range; use strategy='join'")
             mask = [False] * bound
             for r in self.keep.collect():
                 if 0 <= int(r["idx"]) < bound:

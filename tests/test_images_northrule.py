@@ -127,6 +127,28 @@ def test_decompression_bomb_degrades_to_null_row():
     assert got[0] == got[2] and got[0][0] is not None  # neighbors intact
 
 
+def test_zero_dim_header_degrades_to_null_row():
+    """A corrupt header declaring width=0 (or height=0) sails past the
+    size gate (0 bytes is never 'too big') but must still yield a null
+    row — it would otherwise hit zero divides in the chunk sizing and the
+    per-pixel means and kill the stage (round-4 review)."""
+    import struct
+    import zlib
+
+    from dagli_spark.features.image_features import _features_batch
+
+    ok = encode_png(np.zeros((8, 8, 3), dtype=np.uint8))
+    for w, h in [(0, 16), (16, 0), (0, 0)]:
+        ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+        zero = (b"\x89PNG\r\n\x1a\n"
+                + struct.pack(">I", 13) + b"IHDR" + ihdr
+                + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+                + b"\x00" * 64)
+        got = _features_batch(pd.Series([ok, zero]))
+        assert got[1] == (None,) * 7, (w, h, got[1])
+        assert got[0][0] is not None
+
+
 def test_qjpg_psnr_gate():
     """input_hint: PSNR >= 40 dB for the lossy path at q90."""
     rng = np.random.RandomState(11)

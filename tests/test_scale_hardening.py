@@ -292,3 +292,29 @@ def test_keepset_strategies_agree_and_scale_k10k(spark):
     auto = m.apply(df, out="top")  # must compose+run without error
     assert auto.where(F.col("id") == 1_000_002).first()["top"] is None
     assert auto.count() == n_rows + 2
+    # a typo'd strategy must raise, not silently run a different plan
+    with pytest.raises(ValueError, match="unknown keep-set strategy"):
+        m.apply(df, strategy="msak")
+    # indices past int32 must stay correct (literal path at small K) and an
+    # explicit mask override there is an error, not a silent wrap of the
+    # try_element_at position cast
+    from dagli_spark.operators.vector_select import KeepSetModel
+
+    wide_keep = spark.createDataFrame(
+        [(0,), (7,), (5_000_000_000,)], "idx long")
+    wide = KeepSetModel("vec", wide_keep)
+    wdf = spark.createDataFrame(
+        [(1, {0: 1.0, 5_000_000_000: 2.0, 9: 3.0})],
+        "id long, vec map<long,double>")
+    got = wide.apply(wdf, out="top").first()["top"]
+    assert got == {0: 1.0, 5_000_000_000: 2.0}
+    with pytest.raises(ValueError, match="int32"):
+        wide.apply(wdf, strategy="mask")
+    # the auto pick must never build an unbounded mask literal: a dense
+    # keep-set past the absolute cap (64*k exceeds _MASK_CAP here) must
+    # route to the join path — the mask would be a 4.5M-slot driver list
+    # growing linearly in k with no ceiling
+    big_keep = spark.range(70_000).select((F.col("id") * 64).alias("idx"))
+    big = KeepSetModel("vec", big_keep)
+    plan = big.apply(wdf, out="top")._jdf.queryExecution().analyzed().toString()
+    assert "monotonically_increasing_id" in plan  # join path, not mask
