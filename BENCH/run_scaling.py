@@ -52,7 +52,7 @@ run(spark, materialize(spark, "smoke")).write.format("noop").mode("overwrite").s
 # visibly noisy.
 best = None
 passes = []
-for i in range(4):
+for i in range({npasses}):
     t0 = time.time()
     run(spark, paths).write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
@@ -130,7 +130,14 @@ if __name__ == "__main__":
 
 
 def run_level(cores: int, scale: str) -> dict:
-    code = _RUNNER.format(repo=REPO, cores=cores, scale=scale)
+    # SAME fixed pass count at every level (asymmetry would bias the
+    # N-vs-4N ratio — see the runner comment). Default 4; the scale4x
+    # tier at 32 cores was measured still descending at pass 4 (C2 tiers
+    # the biggest tier's generated code over more executions), so
+    # SCALING_PASSES=6 is the documented setting for 4x sessions.
+    npasses = int(os.environ.get("SCALING_PASSES", "4"))
+    code = _RUNNER.format(repo=REPO, cores=cores, scale=scale,
+                          npasses=npasses)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         timeout=2400,

@@ -665,6 +665,67 @@ def _phone_intl_oracle() -> str:
     """
 
 
+def q_phone_intl2(spark, sf_dir):
+    """ContainsPhoneNumber round-5 region plans (JP/IN/BR/AU — the next
+    four high-traffic regions behind the same leniency API; goldens in
+    tests/test_dagli_golden.py mirror libphonenumber's public example
+    numbers). A doc_id-derived probe cycles one valid number per region
+    (the BR branch through the parenthesized-area form, exercising the
+    valid⊆possible paren alternative) plus a no-phone branch; every
+    (region, leniency) decision replays in DuckDB with the byte-identical
+    RE2-safe pattern."""
+    d = _t(spark, sf_dir, "documents")
+    four = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    probe = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("denwa +81 90-1234-"), four))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("call +91 74104 1"), four))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("fone (11) 96123-"), four))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("ring +61 2 3661 "), four))
+        .otherwise(F.concat(F.lit("ref #"), four.substr(1, 3)))
+    )
+    cols = [F.col("doc_id")]
+    for region in ("JP", "IN", "BR", "AU"):
+        for len_ in ("valid", "possible"):
+            cols.append(
+                T.contains_phone(probe, region=region, leniency=len_)
+                .alias(f"{region.lower()}_{len_}"))
+    return d.select(*cols)
+
+
+def _phone_intl2_oracle() -> str:
+    from dagli_spark.functions.text import phone_pattern
+
+    checks = ",\n                   ".join(
+        f"regexp_matches(probe, '{phone_pattern(r, le)}') "
+        f"AS {r.lower()}_{le}"
+        for r in ("JP", "IN", "BR", "AU") for le in ("valid", "possible"))
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   CASE
+                     WHEN doc_id % 5 = 0 THEN 'denwa +81 90-1234-' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     WHEN doc_id % 5 = 1 THEN 'call +91 74104 1' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     WHEN doc_id % 5 = 2 THEN 'fone (11) 96123-' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     WHEN doc_id % 5 = 3 THEN 'ring +61 2 3661 ' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE 'ref #' ||
+                       substr(lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                              1, 3)
+                   END AS probe
+            FROM documents)
+        SELECT doc_id,
+               {checks}
+        FROM p
+    """
+
+
 def _sparse_events(spark, sf_dir):
     """Deterministic sparse-vector column for the densify/top-by-value
     family: map{event_id % 97 -> value}."""
@@ -1031,6 +1092,49 @@ def _tokens_ascii_oracle() -> str:
     """
 
 
+def q_tokens_en_core(spark, sf_dir):
+    """The ENGLISH locale tokenizer (the reference's JFlexEnglishLexer
+    path, contraction/abbrev rules loaded) over the document subset where
+    its lookahead-dependent rules cannot fire: printable ASCII, no
+    apostrophe/backtick, no abbrev-word+period substring
+    (text.EN_CORE_EXCLUDE_RES — each filter regex means the same thing in
+    java.util.regex and RE2). On that subset the EN output replays
+    verbatim in DuckDB as the lookahead-free EN-core alternation
+    (text.locale_pattern_source_en_core — fuzz-pinned equivalent), moving
+    the EN path from Python-oracle-only into driver-oracle territory;
+    the full clitic/abbrev behavior stays pinned by
+    tests/test_tokens_locale.py."""
+    from dagli_spark.functions.text import EN_CORE_EXCLUDE_RES
+
+    d = _t(spark, sf_dir, "documents")
+    for r in EN_CORE_EXCLUDE_RES:
+        d = d.where(~F.col("text").rlike(r))
+    return d.select(
+        "doc_id",
+        F.posexplode(T.tokens_locale("text", "en")).alias("pos", "token"))
+
+
+def _tokens_en_core_oracle() -> str:
+    from dagli_spark.functions.text import (
+        EN_CORE_EXCLUDE_RES,
+        locale_pattern_source_en_core,
+    )
+
+    pat = locale_pattern_source_en_core().replace("'", "''")
+    conds = " AND ".join(
+        f"NOT regexp_matches(text, '{r.replace(chr(39), chr(39) * 2)}')"
+        for r in EN_CORE_EXCLUDE_RES)
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          regexp_extract_all(text, '{pat}', 0, 'i') AS toks
+                   FROM documents
+                   WHERE {conds})
+        SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+               unnest(toks) AS token
+        FROM t
+    """
+
+
 def q_northrule_temporal(spark, sf_dir):
     """The flagship pipeline's TEMPORAL feature subset (sessionize + lag +
     rolling + strict as-of), oracle-checkable over the standard events table
@@ -1068,29 +1172,79 @@ def q_northrule_temporal(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate samples the FIRST 50
-    # entries.  Round-4 rotation: (a) flagships + everything touched this
-    # round first (northrule_features now emits oracle-checkable scalar
-    # rows; tokens_ascii replaces the tokens_locale no-oracle slot;
-    # phone_intl is new; top_by_value/top_by_pmi/densify ride the
-    # KeepSet/vector_select change); (b) the 18 r01/r02 veterans rotated
-    # out in r03 come back for re-check (oldest evidence first, per the
-    # round-3 verdict); (c) the r03 first-green rows keep their slot for a
-    # second consecutive row; (d) family anchors fill to 50.  EVERY
-    # in-window entry has a SQL oracle — the rows-only trio
-    # (minhash_pairs/simhash_pairs: xxhash64 family; tokens_locale:
-    # lookahead rules) sits past position 50, replica-pinned like all
-    # rotated-out greens (tests/test_oracle_parity.py).
+    # entries.  Round-5 rotation (VERDICT r04 task #5, oldest-evidence
+    # first): (a) flagships + everything touched this round (phone_intl2 /
+    # tokens_en_core are new; phone_plan/phone_intl ride the plan-table
+    # change; top_by_value/top_by_pmi/densify ride the KeepSet
+    # distinct/column-order fix; simhash_portable rides the packed-lane
+    # aggregate rewrite; tokens_ascii + phone_intl keep their slot for a
+    # second consecutive row); (b) the 19 veterans whose newest driver
+    # evidence is r03 rotate back in; (c) family anchors; (d) r04-checked
+    # rows fill to 50.  EVERY in-window entry has a SQL oracle — the
+    # rows-only trio (minhash_pairs/simhash_pairs: xxhash64 family;
+    # tokens_locale: lookahead rules) sits past position 50,
+    # replica-pinned like all rotated-out greens
+    # (tests/test_oracle_parity.py).
     return {
         # -- (a) flagships + touched this round ---------------------------
         "northrule_features": q_northrule,
         "northrule_temporal": q_northrule_temporal,
+        "phone_intl2": q_phone_intl2,
+        "tokens_en_core": q_tokens_en_core,
         "tokens_ascii": q_tokens_ascii,
         "phone_intl": q_phone_intl,
         "phone_plan": q_phone_plan,
         "top_by_value": q_top_by_value,
         "top_by_pmi": q_top_by_pmi,
         "densify": q_densify,
-        # -- (b) r01/r02 veterans rotated back in (oldest evidence first) -
+        "simhash_portable": q_simhash_portable,
+        # -- (b) veterans with r03-old evidence rotated back in ------------
+        "pricing_summary": q_pricing_summary,
+        "top_orders_per_cust": q_top_orders_per_cust,
+        "region_revenue": q_region_revenue,
+        "asof_tolerance": q_asof_tolerance,
+        "lag_lead": q_lag_lead,
+        "forward_fill": q_forward_fill,
+        "sessionize": q_sessionize,
+        "rolling_rows": q_rolling_rows,
+        "index_dict": q_index_dict,
+        "index_applied": q_index_applied,
+        "kfold": q_kfold,
+        "text_stats": q_text_stats,
+        "exact_dedup": q_exact_dedup,
+        "top_tokens": q_top_tokens,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "binary_auc": q_binary_auc,
+        "normalized": q_normalized,
+        "nearest_centroid": q_nearest_centroid,
+        # -- (c) family anchors --------------------------------------------
+        "asof_strict": q_asof_strict,
+        "asof_bucketed": q_asof_bucketed,
+        "kmeans": q_kmeans,
+        "knn_ivf": q_knn_ivf,
+        "kfold_target_encode": q_kfold_target_encode,
+        "rank_population": q_rank_population,
+        "isotonic": q_isotonic,
+        "minhash_portable": q_minhash_portable,
+        # -- (d) r04-checked rows to fill the window to 50 ------------------
+        "bucket_index": q_bucket_index,
+        "indices": q_indices,
+        "hamming": q_hamming,
+        "word_ngrams": q_word_ngrams,
+        "char_ngrams": q_char_ngrams,
+        "ngram_padding": q_ngram_padding,
+        "text_normalize": q_text_normalize,
+        "many_hot": q_many_hot,
+        "grouped_multiplicity": q_grouped_multiplicity,
+        "null_filtered_normalized": q_null_filtered_normalized,
+        "ranking_eval": q_ranking_eval,
+        "multinomial_eval": q_multinomial_eval,
+        # ---- past position 50: replica-checked every run -----------------
+        "topk_eval": q_topk_eval,
+        "vector_accessors": q_vector_accessors,
+        "dist_vector_bridge": q_dist_vector_bridge,
+        "dist_sample": q_dist_sample,
         "rolling_range": q_rolling_range,
         "session_stats": q_session_stats,
         "example_index": q_example_index,
@@ -1109,53 +1263,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_embedding": q_avg_embedding,
         "text_ops": q_text_ops,
         "centroid_norm": q_centroid_norm,
-        # -- (c) r03 first-greens: second consecutive row ------------------
-        "bucket_index": q_bucket_index,
-        "ranking_eval": q_ranking_eval,
-        "multinomial_eval": q_multinomial_eval,
-        "topk_eval": q_topk_eval,
-        "indices": q_indices,
-        "hamming": q_hamming,
-        "word_ngrams": q_word_ngrams,
-        "char_ngrams": q_char_ngrams,
-        "ngram_padding": q_ngram_padding,
-        "text_normalize": q_text_normalize,
-        "many_hot": q_many_hot,
-        "grouped_multiplicity": q_grouped_multiplicity,
-        "null_filtered_normalized": q_null_filtered_normalized,
-        "vector_accessors": q_vector_accessors,
-        "dist_vector_bridge": q_dist_vector_bridge,
-        "dist_sample": q_dist_sample,
-        # -- (d) family anchors to fill the window to 50 -------------------
-        "asof_strict": q_asof_strict,
-        "asof_bucketed": q_asof_bucketed,
-        "kmeans": q_kmeans,
-        "knn_ivf": q_knn_ivf,
-        "kfold_target_encode": q_kfold_target_encode,
-        "rank_population": q_rank_population,
-        "isotonic": q_isotonic,
-        "minhash_portable": q_minhash_portable,
-        # ---- past position 50: replica-checked every run -----------------
-        "pricing_summary": q_pricing_summary,
-        "top_orders_per_cust": q_top_orders_per_cust,
-        "region_revenue": q_region_revenue,
-        "asof_tolerance": q_asof_tolerance,
-        "lag_lead": q_lag_lead,
-        "forward_fill": q_forward_fill,
-        "sessionize": q_sessionize,
-        "rolling_rows": q_rolling_rows,
-        "index_dict": q_index_dict,
-        "index_applied": q_index_applied,
-        "kfold": q_kfold,
-        "text_stats": q_text_stats,
-        "exact_dedup": q_exact_dedup,
-        "top_tokens": q_top_tokens,
-        "knn_bruteforce": q_knn_bruteforce,
-        "simhash_portable": q_simhash_portable,
-        "knn_lsh": q_knn_lsh,
-        "binary_auc": q_binary_auc,
-        "normalized": q_normalized,
-        "nearest_centroid": q_nearest_centroid,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "tokens_locale": q_tokens_locale,
@@ -1488,19 +1595,28 @@ _ASOF_ORACLE = """
 """
 
 
-def _northrule_features_oracle() -> str:
+def _northrule_features_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """Full DuckDB replay of the flagship over the SAME fixture parquet
-    the Spark query reads (fixtures.fixture_root — the driver gate runs
-    the Spark side first, which materializes/caches the tier under /tmp).
-    Temporal features are re-derived with plain SQL windows + the as-of
-    LATERAL; the six pixel stats come from the fixture's stored
-    single-image-oracle columns, while Spark recomputes them from the raw
-    ``bytes`` through the batched Arrow decode kernel — so the row checks
-    the decode+reduction round trip end to end. Tier is pinned to
-    'correctness' (the driver's sf0.01 scale, northrule_tier)."""
+    the Spark query reads (fixtures.fixture_root). Temporal features are
+    re-derived with plain SQL windows + the as-of LATERAL; the six pixel
+    stats come from the fixture's stored single-image-oracle columns,
+    while Spark recomputes them from the raw ``bytes`` through the batched
+    Arrow decode kernel — so the row checks the decode+reduction round
+    trip end to end.
+
+    The tier is derived from ``sf_dir`` with the SAME mapping q_northrule
+    uses (driver contract: oracles run at sf0.01 -> 'correctness'), and
+    the fixture is materialized here if the Spark side hasn't run yet —
+    the oracle must not depend on evaluation order or error into a DuckDB
+    file-not-found."""
     from dagli_spark.fixtures import fixture_root
 
-    root = fixture_root("correctness")
+    tier = northrule_tier(sf_dir)
+    root = fixture_root(tier)
+    if not os.path.isdir(root):
+        from dagli_spark import get_spark
+        from dagli_spark.fixtures import materialize
+        materialize(get_spark("oracle-fixture"), tier)
     win = "PARTITION BY entity_id ORDER BY event_time, eseq"
     px = ["px_mean_r", "px_mean_g", "px_mean_b", "px_std",
           "px_brightness", "px_edge_energy"]
@@ -2154,7 +2270,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_portable": _simhash_portable_oracle(),
         "northrule_features": _northrule_features_oracle(),
         "tokens_ascii": _tokens_ascii_oracle(),
+        "tokens_en_core": _tokens_en_core_oracle(),
         "phone_intl": _phone_intl_oracle(),
+        "phone_intl2": _phone_intl2_oracle(),
         # minhash_pairs / simhash_pairs: xxhash64-family
         # dependent (documented different hash family than the reference's
         # MurmurHash3) — rows-only; tokens_locale: rule regex needs

@@ -104,6 +104,41 @@ _FR_VALID_BODY = (
     r"(\+33[-. ]?|0)"
     r"[1-9]([-. ]?\d{2}){4}"              # 0X XX XX XX XX (9 national)
 )
+# Round-5 extension: JP/IN/BR/AU high-traffic plans, same structural port
+# (grouped national formats behind trunk/+cc, RE2-safe). Goldens mirror
+# libphonenumber's public example numbers (PhoneNumberUtilTest: JP fixed
+# +81 3-3777-1111 / mobile +81 90-1234-5678, IN mobile +91 74104 10123 /
+# Delhi fixed +91 11 2345 6789, BR fixed +55 11 2345-6789 / mobile
+# +55 11 96123-4567, AU fixed +61 2 3661 8300 / mobile +61 412 345 678).
+# Scope ceiling vs the reference (text-phone/.../ContainsPhoneNumber.java,
+# which inherits libphonenumber's full ~240-region metadata): 8 hand-
+# ported regions — the plan table is the extension point.
+_JP_VALID_BODY = (
+    r"((\+81[-. ]?|0)"
+    r"(\d[-. ]?\d{4}[-. ]?\d{4}"        # (0)A-BBBB-CCCC (Tokyo/Osaka, 9sd)
+    r"|\d{2}[-. ]?\d{3}[-. ]?\d{4}"     # (0)AB-CDE-FGHI (9sd)
+    r"|\d{3}[-. ]?\d{2}[-. ]?\d{4}"     # (0)ABC-DE-FGHI (9sd)
+    r"|[789]0[-. ]?\d{4}[-. ]?\d{4})"   # mobile 070/080/090 (10sd)
+    r"|\(0\d{1,4}\)[-. ]?\d{2,4}[-. ]?\d{4})"  # (03) 3777-1111
+)
+_IN_VALID_BODY = (
+    r"((\+91[-. ]?|0)?[6-9]\d{4}[-. ]?\d{5}"      # mobile XXXXX XXXXX (10sd)
+    r"|(\+91[-. ]?|0)"
+    r"(\d{2}[-. ]?\d{4}[-. ]?\d{4}"               # fixed area(2)+8
+    r"|\d{3}[-. ]?\d{3}[-. ]?\d{4}"               # fixed area(3)+7
+    r"|\d{4}[-. ]?\d{3}[-. ]?\d{3}))"             # fixed area(4)+6
+)
+_BR_VALID_BODY = (
+    # national writing parenthesizes the area code ("(11) 96123-4567");
+    # trunk-less bare digit runs are barred like every VALID plan here
+    r"((\+55[-. ]?\d{2}|\(\d{2}\))[-. ]?9?\d{4}[-. ]?\d{4})"
+)
+_AU_VALID_BODY = (
+    r"((\+61[-. ]?|0)"
+    r"([2378][-. ]?\d{4}[-. ]?\d{4}"   # fixed 0A BBBB BBBB (9sd)
+    r"|4\d{2}[-. ]?\d{3}[-. ]?\d{3})"  # mobile 04XX XXX XXX (9sd)
+    r"|\(0[2378]\)[-. ]?\d{4}[-. ]?\d{4})"
+)
 _PHONE_REGION_PLANS = {
     "US": {
         "valid": PHONE_VALID_RE,
@@ -126,6 +161,38 @@ _PHONE_REGION_PLANS = {
         # FR fixed 9 national digits (+trunk 0 -> 10)
         "possible": (_PHONE_BOUND_L + r"(\+?33[-. ]?|0)?"
                      + r"(\d[-. ]?){8,9}\d" + _PHONE_BOUND_R),
+    },
+    # possible = length-only digit run OR the valid paren-area form, so
+    # valid ⊆ possible holds by construction (libphonenumber: every valid
+    # number is possible; a bare length-run regex misses "(03) 3777-1111"
+    # because ')' breaks the digit run)
+    "JP": {
+        "valid": _PHONE_BOUND_L + _JP_VALID_BODY + _PHONE_BOUND_R,
+        # JP national significant 9 (fixed) or 10 (mobile) digits
+        "possible": (_PHONE_BOUND_L + r"((\+?81[-. ]?|0)?(\d[-. ]?){8,9}\d"
+                     + r"|\(0\d{1,4}\)[-. ]?\d{2,4}[-. ]?\d{4})"
+                     + _PHONE_BOUND_R),
+    },
+    "IN": {
+        "valid": _PHONE_BOUND_L + _IN_VALID_BODY + _PHONE_BOUND_R,
+        # IN national 10 digits throughout
+        "possible": (_PHONE_BOUND_L + r"(\+?91[-. ]?|0)?"
+                     + r"(\d[-. ]?){9}\d" + _PHONE_BOUND_R),
+    },
+    "BR": {
+        "valid": _PHONE_BOUND_L + _BR_VALID_BODY + _PHONE_BOUND_R,
+        # BR national 10 (fixed) or 11 (mobile 9-prefixed) digits
+        "possible": (_PHONE_BOUND_L + r"((\+?55[-. ]?|0)?(\d[-. ]?){9,10}\d"
+                     + r"|\(\d{2}\)[-. ]?9?\d{4}[-. ]?\d{4})"
+                     + _PHONE_BOUND_R),
+    },
+    "AU": {
+        "valid": _PHONE_BOUND_L + _AU_VALID_BODY + _PHONE_BOUND_R,
+        # AU 8 (local fixed, POSSIBLE only — like the US plan's 7-digit
+        # local) or 9 national significant digits
+        "possible": (_PHONE_BOUND_L + r"((\+?61[-. ]?|0)?(\d[-. ]?){7,8}\d"
+                     + r"|\(0[2378]\)[-. ]?\d{4}[-. ]?\d{4})"
+                     + _PHONE_BOUND_R),
     },
 }
 
@@ -155,7 +222,8 @@ def contains_phone(col, *, region: str = "US",
                    leniency: str = "valid") -> Column:
     """text-phone/.../ContainsPhoneNumber.java — number-plan heuristic
     (see PHONE_*_RE / _PHONE_REGION_PLANS above). The reference hardcodes
-    region US; ``region`` extends the same structural port to GB/DE/FR.
+    region US; ``region`` extends the same structural port to
+    GB/DE/FR/JP/IN/BR/AU.
     ``leniency`` mirrors the reference's Leniency enum subset: 'valid'
     (default — structural plan validity, bars local numbers) or
     'possible' (length-only; local numbers match). Swap in a
@@ -341,6 +409,37 @@ def locale_pattern_source(locale: str) -> str:
     extra = {"en": _EN_RULES, "de": _DE_RULES}.get(lang, [])
     rules = _SHARED_RULES_PRE + extra + _SHARED_RULES_POST
     return "|".join(f"(?:{r})" for r in rules)
+
+
+def locale_pattern_source_en_core() -> str:
+    """The EN rule set MINUS its lookahead rules (clitic ``'ll``/``n't``
+    splitting and abbrev-dot), keeping the two RE2-safe EN extras (Ph.D,
+    hyphenated prefix words): a lookahead-free alternation that equals the
+    FULL EN tokenizer verbatim over documents where the omitted rules
+    cannot fire — printable ASCII with no apostrophe/backtick and no
+    abbreviation-followed-by-period substring (the over-approximation
+    :data:`EN_CORE_EXCLUDE_RES` filters; over-exclusion only shrinks the
+    checked subset, identically on both engines). This is the
+    driver-checkable face of the EN locale path (tokens_en_core), the
+    same trick tokens_ascii plays for the generic lexer."""
+    core_en = [
+        r"[Pp]h\.[Dd]\.?",                                # Ph.D
+        r"(?:mis|anti|counter|over|under|non|co|meta|multi|pre|off|sub)-\w+",
+    ]
+    rules = _SHARED_RULES_PRE + core_en + _SHARED_RULES_POST
+    return "|".join(f"(?:{r})" for r in rules)
+
+
+# Engine-neutral (java.util.regex == RE2) doc filters under which the
+# omitted EN lookahead rules cannot fire: any apostrophe-family char bars
+# the clitic/n't/ONAME rules (ASCII docs can only contain ' and `), any
+# abbrev-word+period substring bars the abbrev rule (unanchored scan =
+# over-approximation of the lexer-position match).
+EN_CORE_EXCLUDE_RES = (
+    "[^ -~]",                                  # non-printable-ASCII
+    "['`]",                                    # apostrophe family in ASCII
+    r"(?i)(?:" + _EN_ABBREV + r")\.",          # abbrev-dot over-approx
+)
 
 
 def _locale_pattern(locale: str):

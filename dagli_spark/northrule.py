@@ -158,8 +158,19 @@ def _hot_carry_rows(events: DataFrame, is_hot, width_us: int, *,
     # other twice. Appending the remaining data columns as tiebreaks makes
     # the assignment reproducible; fully-identical rows may still swap,
     # which is observationally invisible.
-    tiebreaks = [F.col(c).desc() for c in events.columns
-                 if c not in ("entity_id", "event_time", "eseq")]
+    # tiebreak columns restricted to orderable SCALAR types: a map (or
+    # array-of-map) column would make the window sort throw
+    # AnalysisException, and a fat binary column would be dragged into the
+    # per-bucket sort key for no disambiguation value — skipped columns
+    # only widen the "fully-identical rows may swap" class, never break
+    # the route-key dedup
+    from pyspark.sql.types import (BooleanType, DateType, NumericType,
+                                   StringType, TimestampType)
+    _orderable = (NumericType, StringType, BooleanType,
+                  TimestampType, DateType)
+    tiebreaks = [F.col(f.name).desc() for f in events.schema.fields
+                 if f.name not in ("entity_id", "event_time", "eseq")
+                 and isinstance(f.dataType, _orderable)]
     w_desc = Window.partitionBy("entity_id", "__b").orderBy(
         F.col("event_time").desc(), F.col("eseq").desc(), *tiebreaks)
     e = (events.where(is_hot).withColumn("__b", F.floor(us / width_us))

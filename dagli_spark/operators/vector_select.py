@@ -101,7 +101,10 @@ class KeepSetModel:
       — O(1) per map entry; the literal ships once per task in the plan,
       never per row (a broadcast-joined mask COLUMN would be copied into
       every output row by the join). Picked when max_idx is within
-      max(64K, 2^20) so mask memory stays O(K).
+      max(64K, 2^20), capped at 2^22: mask memory is O(max_idx+1), NOT
+      O(K) — the floor admits up to a 2^20-slot literal for sparse keep
+      sets, a deliberate constant bound (~1 MiB of booleans per task)
+      traded for the join path's shuffle.
     - ``join`` (huge/sparse keep-sets): explode -> broadcast hash
       semi-mark -> regroup by row id (the DensifyModel single-linear-plan
       shape) — O(1) per entry, shuffle bounded by nnz, keep-set never
@@ -188,7 +191,11 @@ class KeepSetModel:
             rid, payload,
             F.explode_outer(F.col(self.vec_col)).alias("idx", "val"),
         )
-        marked = self.keep.select("idx", F.lit(True).alias("__keep"))
+        # distinct: map_from_entries raises DUPLICATED_MAP_KEY on a repeated
+        # idx, while the literal/mask paths tolerate duplicate keep rows —
+        # all three strategies must share duplicate semantics
+        marked = self.keep.select("idx").distinct() \
+            .select("idx", F.lit(True).alias("__keep"))
         j = ex.join(F.broadcast(marked), "idx", "left")
         entries = F.collect_list(
             F.when(F.col("__keep"),
@@ -200,14 +207,16 @@ class KeepSetModel:
         )
         # null-in -> null-out, like map_filter (regroup alone would
         # resurrect null maps as empty ones); out replaces any existing
-        # column of the same name, matching withColumn on the other paths
-        kept_cols = [F.col(f"{payload}.{c}").alias(c)
-                     for c in df.columns if c != out]
-        return packed.select(
-            *kept_cols,
-            F.when(F.col(f"{payload}.{self.vec_col}").isNotNull(),
-                   F.col("__ks_out")).alias(out),
-        )
+        # column IN PLACE, matching withColumn's column order on the
+        # literal/mask paths (new names still append last)
+        out_expr = F.when(
+            F.col(f"{payload}.{self.vec_col}").isNotNull(),
+            F.col("__ks_out")).alias(out)
+        cols = [out_expr if c == out else F.col(f"{payload}.{c}").alias(c)
+                for c in df.columns]
+        if out not in df.columns:
+            cols.append(out_expr)
+        return packed.select(*cols)
 
 
 def fit_top_by_value(df: DataFrame, vec_col: str, k: int) -> KeepSetModel:

@@ -505,3 +505,65 @@ def test_contains_phone_intl_region_golden(spark):
         for (t, want_p, want_v), r in zip(rows_spec, rows):
             assert r["p"] == want_p, (region, t, "possible")
             assert r["v"] == want_v, (region, t, "valid")
+
+
+def test_contains_phone_intl2_region_golden(spark):
+    """JP/IN/BR/AU plans (round-5 extension): goldens mirror
+    libphonenumber's public example constants (PhoneNumberUtilTest
+    JP fixed +81 3-3777-1111 / mobile +81 90-1234-5678, IN mobile
+    +91 74104 10123 / Delhi fixed +91 11 2345 6789, BR fixed
+    +55 11 2345-6789 / mobile +55 11 96123-4567, AU fixed
+    +61 2 3661 8300 / mobile +61 412 345 678). Paren-area national
+    forms stay inside POSSIBLE (valid ⊆ possible invariant); trunk-less
+    digit runs of a possible length are POSSIBLE-only, like the US plan's
+    7-digit locals."""
+    from dagli_spark.functions.text import contains_phone
+
+    cases = {
+        "JP": [
+            ("+81 3-3777-1111", True, True),
+            ("03-3777-1111", True, True),
+            ("(03) 3777-1111", True, True),
+            ("+81 90-1234-5678", True, True),
+            ("090-1234-5678", True, True),
+            ("3777-1111", False, False),      # 8 digits: below possible
+            ("cost 500000 yen", False, False),
+        ],
+        "IN": [
+            ("+91 74104 10123", True, True),
+            ("74104 10123", True, True),      # bare mobile: valid in IN
+            ("7410410123", True, True),
+            ("+91 11 2345 6789", True, True),
+            ("011-2345-6789", True, True),
+            ("1123456789", True, False),      # trunk-less fixed: len-only
+            ("order 12345", False, False),
+        ],
+        "BR": [
+            ("+55 11 2345-6789", True, True),
+            ("(11) 2345-6789", True, True),
+            ("+55 11 96123-4567", True, True),
+            ("(11) 96123-4567", True, True),
+            ("11 96123-4567", True, False),   # unparenthesized: len-only
+            ("item 999", False, False),
+        ],
+        "AU": [
+            ("+61 2 3661 8300", True, True),
+            ("(02) 3661 8300", True, True),
+            ("02 3661 8300", True, True),
+            ("+61 412 345 678", True, True),
+            ("0412 345 678", True, True),
+            ("3661 8300", True, False),       # 8-digit local: len-only
+            ("price $123", False, False),
+        ],
+    }
+    for region, rows_spec in cases.items():
+        df = spark.createDataFrame([(t,) for t, _, _ in rows_spec],
+                                   "t string")
+        rows = df.select(
+            contains_phone("t", region=region, leniency="possible")
+            .alias("p"),
+            contains_phone("t", region=region).alias("v"),
+        ).collect()
+        for (t, want_p, want_v), r in zip(rows_spec, rows):
+            assert r["p"] == want_p, (region, t, "possible")
+            assert r["v"] == want_v, (region, t, "valid")

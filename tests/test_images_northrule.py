@@ -478,6 +478,49 @@ def test_bucketed_windows_duplicate_source_rows_survive(spark):
     assert c73 == 3, f"cnt_1h at 7300 saw {c73} rows, want 3"
 
 
+def test_bucketed_windows_tolerate_non_orderable_payload(spark):
+    """Round-4 advice: the carry path's reproducibility tiebreaks must
+    skip non-orderable payload columns — a map-typed column in events
+    made the per-bucket window sort throw AnalysisException (and a fat
+    binary payload was dragged into the sort key). Such columns only
+    widen the fully-identical-rows-may-swap class; results must still
+    match the plain path."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from dagli_spark.northrule import (
+        _bucketed_event_windows,
+        _plain_event_windows,
+    )
+
+    width_us = 7200 * 1_000_000
+    schema = T.StructType([
+        T.StructField("entity_id", T.StringType()),
+        T.StructField("event_time", T.TimestampNTZType()),
+        T.StructField("eseq", T.LongType()),
+        T.StructField("image_id", T.StringType()),
+        T.StructField("label", T.DoubleType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.LongType())),
+        T.StructField("blob", T.BinaryType()),
+    ])
+    dim = spark.createDataFrame(
+        [(f"img{i}", i * 1234567) for i in range(3)],
+        ["image_id", "phash"])
+    base = dt.datetime(2026, 1, 1)
+    rows = [("E", base + dt.timedelta(seconds=s), i, f"img{i % 3}",
+             float(i + 1), {"k": i}, bytes([i]))
+            for i, s in enumerate(
+                [100, 200, 300, 400, 500, 7300, 14500, 14600, 14700])]
+    ev = spark.createDataFrame(rows, schema)
+    plain = _plain_event_windows(ev.join(dim, "image_id", "left"))
+    buck = _bucketed_event_windows(ev, dim, ["E"], width_us)
+    cols = sorted(c for c in plain.columns if c != "meta") + ["meta"]
+    a = sorted(str(r) for r in plain.select(*cols).collect())
+    b = sorted(str(r) for r in buck.select(*cols).collect())
+    assert a == b, "bucketed path diverges with map/binary payloads"
+
+
 def test_detect_hot_entities_tiebreak(spark):
     """Equal counts at the `top` boundary resolve by entity_id — the hot
     set (and therefore the plan) is identical run to run."""

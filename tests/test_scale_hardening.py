@@ -318,3 +318,28 @@ def test_keepset_strategies_agree_and_scale_k10k(spark):
     big = KeepSetModel("vec", big_keep)
     plan = big.apply(wdf, out="top")._jdf.queryExecution().analyzed().toString()
     assert "monotonically_increasing_id" in plan  # join path, not mask
+
+
+def test_keepset_duplicate_keep_rows_and_column_order(spark):
+    """Round-4 advice: (a) a keep DataFrame with REPEATED idx rows must
+    behave identically on all three strategies — the join path's
+    map_from_entries raised DUPLICATED_MAP_KEY before the distinct; (b)
+    when ``out`` names an existing column, every strategy must replace it
+    IN PLACE (withColumn semantics) so output column ORDER cannot depend
+    on the auto-picked strategy."""
+    from dagli_spark.operators.vector_select import KeepSetModel
+
+    dup_keep = spark.createDataFrame(
+        [(2,), (2,), (5,), (5,), (5,)], "idx long")
+    m = KeepSetModel("vec", dup_keep)
+    df = spark.createDataFrame(
+        [(1, {2: 1.0, 3: 9.0, 5: 2.0}, "x"), (2, {7: 4.0}, "y")],
+        "id long, vec map<long,double>, tag string")
+    for strat in ("literal", "mask", "join"):
+        out = m.apply(df, out="vec", strategy=strat)
+        assert out.columns == ["id", "vec", "tag"], (strat, out.columns)
+        got = {r["id"]: r["vec"] for r in out.collect()}
+        assert got == {1: {2: 1.0, 5: 2.0}, 2: {}}, (strat, got)
+        # a NEW output name appends last on every strategy
+        assert m.apply(df, out="top", strategy=strat).columns == \
+            ["id", "vec", "tag", "top"], strat
