@@ -2,11 +2,14 @@
 Spark-side plumbing (schema, Arrow batch shape, iterator-UDF signature —
 the same stateful-minibatch pattern as image decode,
 /root/reference/core/src/main/java/com/linkedin/dagli/transformer/internal/PreparedTransformerInternalAPI.java:96-165)
-and STUB codecs: this container ships no libsndfile/ffmpeg, so real decode
-raises ``NotImplementedError`` with the swap point documented, while a
-deterministic fake container ("FAKA"/"FAKV", header + raw payload) lets
-every downstream stage — batching, shape handling, feature math,
-partitioning — be exercised end-to-end in tests.
+and codecs split by what this container can honestly decode: RIFF/WAVE
+integer PCM decodes FOR REAL through the stdlib ``wave`` module (round 5);
+compressed audio (flac/mp3/ogg/ADPCM) and all real video containers still
+raise ``NotImplementedError`` with the swap point documented (no
+libsndfile/ffmpeg here), while a deterministic fake container
+("FAKA"/"FAKV", header + raw payload) lets every downstream stage —
+batching, shape handling, feature math, partitioning — be exercised
+end-to-end in tests.
 
 Swapping in real codecs touches ONLY ``decode_audio`` / ``iter_video_frames``
 (e.g. soundfile.read / av.open); schemas and UDFs are unchanged.
@@ -45,11 +48,54 @@ def encode_fake_audio(pcm: np.ndarray, sample_rate: int) -> bytes:
     return _FAKA + struct.pack("<II", sample_rate, len(pcm)) + pcm.tobytes()
 
 
+def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """REAL RIFF/WAVE PCM decode through the stdlib ``wave`` module
+    (round-5: the one real audio container this environment CAN decode —
+    no libsndfile needed). 8/16/32-bit integer PCM; multi-channel is
+    downmixed to mono by channel mean (the feature set is
+    channel-agnostic). Truncated/corrupt payloads raise ValueError (row
+    degrades to nulls); compressed WAV variants (ADPCM, mu-law...) raise
+    NotImplementedError (a codec gap, not a data problem)."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data)) as w:
+            sr = w.getframerate()
+            ch = w.getnchannels()
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except wave.Error as e:
+        if "unknown format" in str(e).lower():
+            raise NotImplementedError(
+                f"compressed WAV unsupported by the stdlib decoder: {e} "
+                "(swap decode_audio for soundfile.read)") from e
+        raise ValueError(f"corrupt WAV payload: {e}") from e
+    except EOFError as e:
+        raise ValueError("truncated WAV payload") from e
+    if sr <= 0 or ch <= 0:
+        raise ValueError("corrupt WAV header (zero rate/channels)")
+    if sw == 2:
+        pcm = np.frombuffer(raw, dtype="<i2")
+    elif sw == 1:  # 8-bit WAV is unsigned by spec
+        pcm = ((np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128)
+               << 8)
+    elif sw == 4:
+        pcm = (np.frombuffer(raw, dtype="<i4") >> 16).astype(np.int16)
+    else:
+        raise NotImplementedError(f"{sw * 8}-bit PCM WAV unsupported")
+    if ch > 1:
+        pcm = (pcm[: (len(pcm) // ch) * ch]
+               .reshape(-1, ch).mean(axis=1).astype(np.int16))
+    return pcm, sr
+
+
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
-    """-> (int16 PCM, sample_rate). Real formats (wav/flac/mp3) need an
+    """-> (int16 PCM, sample_rate). RIFF/WAVE integer PCM decodes for real
+    (stdlib ``wave`` — see :func:`_decode_wav`); flac/mp3/ogg need an
     audio lib this container lacks — swap this function for
     ``soundfile.read`` on a real cluster. Raises ValueError for corrupt
-    FAKA payloads (truncated, zero sample rate)."""
+    payloads (truncated, zero sample rate) in either container."""
     if data[:4] == _FAKA:
         if len(data) < 12:
             raise ValueError("truncated FAKA header")
@@ -57,10 +103,13 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
         if sr == 0 or len(data) < 12 + 2 * n:
             raise ValueError("corrupt FAKA payload")
         return np.frombuffer(data[12:12 + 2 * n], dtype=np.int16), sr
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return _decode_wav(data)
     raise NotImplementedError(
-        "real audio codecs unavailable in this environment; only the FAKA "
-        "deterministic test container is supported (swap decode_audio for "
-        "soundfile.read to enable wav/flac)")
+        "real audio codecs beyond RIFF/WAVE PCM unavailable in this "
+        "environment; supported containers: WAV-PCM (stdlib) and the FAKA "
+        "deterministic test container (swap decode_audio for "
+        "soundfile.read to enable flac/mp3/ogg)")
 
 
 AUDIO_FIELDS = [

@@ -2,8 +2,10 @@
 availability with a parquet fallback.
 
 The north rule targets "Iceberg tables of image + caption pairs"; this
-sandbox ships no iceberg-spark runtime jar, so the module degrades to plain
-parquet paths while keeping the table-level API (and the design) identical:
+sandbox ships no iceberg-spark runtime jar (re-probed round 5: full-disk
+``find`` for ``*iceberg*`` jars — none; no package network), so the module
+degrades to plain parquet paths while keeping the table-level API (and the
+design) identical:
 
 - **Snapshot checkpoints** — ``Checkpointer`` (dagli_spark.checkpoint) keys
   stage outputs by content hash; on Iceberg the same key becomes a snapshot

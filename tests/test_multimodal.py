@@ -52,10 +52,58 @@ def test_video_features_end_to_end(spark):
 
 
 def test_real_codecs_are_clearly_stubbed():
+    # WAV-PCM is REAL since round 5; the stub boundary moved to
+    # compressed audio and all real video containers
     with pytest.raises(NotImplementedError, match="soundfile"):
-        decode_audio(b"RIFFxxxxWAVE")  # a real wav header path
+        decode_audio(b"OggS" + b"\x00" * 64)  # a real ogg header path
     with pytest.raises(NotImplementedError, match="PyAV"):
         next(iter_video_frames(b"\x00\x00\x00 ftypmp42"))
+
+
+def _wav_bytes(pcm_bytes: bytes, sr: int, *, ch: int = 1,
+               sampwidth: int = 2) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(ch)
+    w.setsampwidth(sampwidth)
+    w.setframerate(sr)
+    w.writeframes(pcm_bytes)
+    w.close()
+    return buf.getvalue()
+
+
+def test_wav_pcm_decodes_for_real(spark):
+    """Round-5: RIFF/WAVE integer PCM is a REAL decode path (stdlib
+    ``wave``) — same features end to end through Spark as the FAKA
+    container, stereo downmixed, truncated WAV degrading to nulls."""
+    pcm = _sine_pcm()
+    stereo = np.empty(2 * len(pcm), np.int16)
+    stereo[0::2] = pcm
+    stereo[1::2] = pcm  # identical channels -> downmix == mono
+    rows = [
+        (1, _wav_bytes(pcm.tobytes(), 8000)),
+        (2, _wav_bytes(stereo.tobytes(), 8000, ch=2)),
+        (3, _wav_bytes(pcm.tobytes(), 8000)[:37]),  # truncated
+        (4, encode_fake_audio(pcm, 8000)),          # FAKA alongside WAV
+    ]
+    df = spark.createDataFrame(rows, "id int, audio_bytes binary")
+    got = {r["id"]: r for r in with_audio_features(df).collect()}
+    for i in (1, 2, 4):
+        assert abs(got[i]["au_duration_s"] - 0.5) < 1e-9, i
+        assert got[i]["au_sample_rate"] == 8000
+        assert abs(got[i]["au_rms"] - 0.5 / np.sqrt(2)) < 0.01, i
+    assert got[1]["au_rms"] == got[4]["au_rms"]  # WAV == FAKA, same PCM
+    assert got[3]["au_rms"] is None              # truncated -> null row
+
+    # direct decode parity + 8-bit width support
+    d, sr = decode_audio(_wav_bytes(pcm.tobytes(), 8000))
+    assert sr == 8000 and np.array_equal(d, pcm)
+    u8 = ((pcm.astype(np.int32) >> 8) + 128).astype(np.uint8)
+    d8, _ = decode_audio(_wav_bytes(u8.tobytes(), 8000, sampwidth=1))
+    assert np.array_equal(d8, (u8.astype(np.int16) - 128) << 8)
 
 
 def test_corrupt_payloads_degrade_to_null_rows(spark):

@@ -257,3 +257,52 @@ def test_simhash_width_guard(spark):
     with _pytest.raises(ValueError, match="block width"):
         simhash_dup_pairs(df, "text", "doc_id", max_hamming=32,
                           hash_method="poly31")
+
+
+def _simhash_corpus(spark):
+    rows = []
+    for i in range(24):
+        # varied lengths incl. repeated tokens (multiset semantics), even
+        # token counts (tie s_i == 0 -> bit 0 must match across paths)
+        words = [f"w{(i * 7 + j * 3) % 11}" for j in range(2 + (i % 9))]
+        if i % 4 == 0:
+            words += words[:2]
+        rows.append((f"d{i:02d}", " ".join(words)))
+    rows.append(("empty", ""))  # must keep a NULL simhash on every path
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+@pytest.mark.parametrize("hash_method", ["xxhash64", "poly31"])
+def test_simhash_packed_matches_exact(spark, hash_method):
+    """The packed-lane aggregate (round-5 rewrite) is bit-identical to the
+    wide signed-sum formulation: lane_cap=0 routes EVERY group through the
+    exact fallback, so comparing it against the default-packed run checks
+    both directions of the split (incl. sign-bit 63 and ties)."""
+    from dagli_spark.operators.dedup import simhash
+
+    df = _simhash_corpus(spark)
+    packed = {r["doc_id"]: r["simhash"]
+              for r in simhash(df, "text", id_col="doc_id",
+                               hash_method=hash_method).collect()}
+    exact = {r["doc_id"]: r["simhash"]
+             for r in simhash(df, "text", id_col="doc_id",
+                              hash_method=hash_method,
+                              lane_cap=0).collect()}
+    assert packed == exact
+    assert packed["empty"] is None
+
+
+def test_simhash_mixed_cap_split(spark):
+    """Groups straddling lane_cap: the under-cap docs ride the packed path
+    while over-cap docs recompute through the signed-sum fallback, and the
+    union equals the all-exact answer."""
+    from dagli_spark.operators.dedup import simhash
+
+    df = _simhash_corpus(spark)
+    mixed = {r["doc_id"]: r["simhash"]
+             for r in simhash(df, "text", id_col="doc_id",
+                              lane_cap=5).collect()}
+    exact = {r["doc_id"]: r["simhash"]
+             for r in simhash(df, "text", id_col="doc_id",
+                              lane_cap=0).collect()}
+    assert mixed == exact
