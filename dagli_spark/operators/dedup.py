@@ -195,27 +195,29 @@ def minhash_lsh_pairs(
     )
 
 
-# Packed-lane simhash aggregate constants: 4 bit-counters of 16 bits per
-# long accumulator. _LANE_SPREAD multiplies a nibble into the 4 lane slots
-# ((b0+2b1+4b2+8b3)*(2^0+2^15+2^30+2^45) puts b_k at bit 16k; cross terms
-# land off-lane and are masked by _LANE_MASK — the classic bit-spread
-# multiply). _LANE_CAP bounds the per-group token count below which the
-# packing is provably exact on BOTH axes: (a) a 16-bit lane counts <= n
-# tokens, so no lane carries into its neighbor, and (b) the top lane sits
-# at bit 48, so the aggregate's long SUM stays under 2^63
-# ((2^15-1)*2^48 + lower lanes < 2^63) — no signed overflow, which under
-# ANSI mode (the Spark 4 default) would otherwise throw mid-aggregate
-# rather than merely corrupt the discarded over-cap groups.
-_LANE_SPREAD = (1 << 45) | (1 << 30) | (1 << 15) | 1
-_LANE_MASK = 0x0001000100010001
-_LANE_CAP = (1 << 15) - 1
+# Packed-lane simhash aggregate constants: 2 bit-counters of 32 bits per
+# long accumulator. _LANE_SPREAD multiplies a 2-bit pair into the lane
+# slots ((b0+2b1)*(2^0+2^31) puts b0 at bit 0 and b1 at bit 32; the two
+# cross terms land at bits 1 and 31 and are masked by _LANE_MASK — the
+# classic bit-spread multiply). 32-bit lanes make the packing exact with
+# NO fallback branch: a lane counts <= n tokens and the aggregate's long
+# SUM stays under 2^63 for any n < 2^31 = _GROUP_CAP — and a single
+# Spark string row cannot exceed 2^31 bytes, so >= 2^31 tokens in one
+# GROUP requires billions of rows per id, guarded loudly (assert_true)
+# rather than handled with a second plan branch (the round-5 16-bit-lane
+# variant carried an exact-recompute branch for >32Ki-token groups; the
+# branch re-ran the explode+hash lineage twice more — 4 scans, 3
+# explodes, no AQE empty-pruning — and cost more than the packing saved).
+_LANE_SPREAD = (1 << 31) | 1
+_LANE_MASK = 0x0000000100000001
+_GROUP_CAP = 1 << 31
 
 
 def _signed_bit_sums(tok: DataFrame, id_col: str, nbits: int) -> DataFrame:
     """Exact per-bit signed sums (the pre-round-5 formulation): nbits
-    long accumulators per group. Kept as the overflow-proof fallback for
-    groups with more than _LANE_CAP tokens — wide (nbits*8 B agg buffer)
-    but correct at ANY group size."""
+    long accumulators per group — the REFERENCE implementation, exercised
+    only by the equivalence tests (test_small_ops) that pin the packed
+    aggregate bit-for-bit against it."""
     aggs = []
     for i in range(nbits):
         mask = F.shiftleft(F.lit(1).cast("long"), i)  # i=63 wraps to sign bit
@@ -235,8 +237,7 @@ def _signed_bit_sums(tok: DataFrame, id_col: str, nbits: int) -> DataFrame:
 
 def simhash(df: DataFrame, text_col: str, *, out: str = "simhash",
             seed: int = 11, id_col: str | None = None,
-            hash_method: str = "xxhash64",
-            lane_cap: int = _LANE_CAP) -> DataFrame:
+            hash_method: str = "xxhash64") -> DataFrame:
     """SimHash of the token multiset, pure Catalyst — 64-bit over xxhash64
     token hashes by default; ``hash_method='poly31'`` builds a 32-bit
     variant whose token bits come from two splitmix-derived affine
@@ -244,31 +245,25 @@ def simhash(df: DataFrame, text_col: str, *, out: str = "simhash",
     :func:`_poly31`).
 
     Shape: explode tokens -> hash -> ONE hash-aggregate whose per-bit
-    counters are PACKED four-to-a-long (16-bit lanes, nbits/4 accumulator
+    counters are PACKED two-to-a-long (32-bit lanes, nbits/2 accumulator
     columns + count(*)): the agg buffer and the map-side-combine partials
-    shrink 4x vs one signed-sum column per bit, and the per-row update is
+    shrink 2x vs one signed-sum column per bit, and the per-row update is
     one shift/mask/multiply/mask per accumulator (bit-spread multiply)
-    instead of four when/case sums. The sign bit is recovered per group as
-    2*count_i > n. Packing is exact up to ``lane_cap`` (32767) tokens per
-    group (lane width AND ANSI-safe long sum — see _LANE_CAP); count(*)
-    itself cannot overflow, so over-capacity groups are detected EXACTLY
-    post-agg and recomputed through the wide signed-sum fallback over a
-    semi-joined token subset (AQE collapses that branch to an empty
-    relation — scan eliminated — when no such group exists, the
-    overwhelmingly common case; web documents beyond 32 Ki tokens are
-    rare). Both paths are bit-identical; ties (s_i == 0 => bit 0) match
-    because 2*count == n exactly when the signed sum is 0. The naive
+    instead of two when/case sums — measured 2x faster than the signed-sum
+    formulation at sf0.1 (quiet host, the round-5 rewrite). The sign bit
+    is recovered per group as 2*count_i > n; ties (s_i == 0 => bit 0)
+    match exactly because 2*count == n iff the signed sum is 0
+    (bit-for-bit equivalence to :func:`_signed_bit_sums` is test-pinned).
+    32-bit lanes are exact with NO fallback branch for any group under
+    2^31 tokens (_GROUP_CAP — a single Spark string row cannot even hold
+    2^31 bytes); the absurd beyond-cap case fails LOUDLY via a runtime
+    assert on count(*) rather than silently corrupting lanes. The naive
     per-row formulation (nbits lambda `aggregate`s over the token array)
     is ~10x slower in codegen; the explode+groupBy plan also scales: the
-    shuffle carries (id, nbits/4 longs) partial aggregates, not token
+    shuffle carries (id, nbits/2 longs) partial aggregates, not token
     lists."""
     if id_col is None:
         raise ValueError("simhash requires id_col to group exploded tokens")
-    if lane_cap > _LANE_CAP:
-        raise ValueError(
-            f"lane_cap {lane_cap} > {_LANE_CAP}: beyond (2^15)-1 the packed "
-            "aggregate's long SUM can overflow (ANSI abort) — the parameter "
-            "exists to LOWER the exact-fallback threshold in tests")
     tok = df.select(
         F.col(id_col),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"),
@@ -286,31 +281,36 @@ def simhash(df: DataFrame, text_col: str, *, out: str = "simhash",
         tok = tok.withColumn("__h", F.xxhash64(F.lit(seed), F.col("__t")))
     else:
         raise ValueError(hash_method)
-    n_acc = nbits // 4
+    n_acc = nbits // 2
     aggs = [F.count(F.lit(1)).alias("__n")]
     for j in range(n_acc):
-        nib = F.shiftright(F.col("__h"), 4 * j).bitwiseAND(
-            F.lit(15).cast("long"))
+        pair = F.shiftright(F.col("__h"), 2 * j).bitwiseAND(
+            F.lit(3).cast("long"))
         aggs.append(F.sum(
-            (nib * F.lit(_LANE_SPREAD)).bitwiseAND(F.lit(_LANE_MASK))
+            (pair * F.lit(_LANE_SPREAD)).bitwiseAND(F.lit(_LANE_MASK))
         ).alias(f"p{j}"))
     packed = tok.groupBy(id_col).agg(*aggs)
     sim = F.lit(0).cast("long")
     for i in range(nbits):
-        j, k = divmod(i, 4)
-        cnt = F.shiftright(F.col(f"p{j}"), 16 * k).bitwiseAND(
-            F.lit(0xFFFF).cast("long"))
+        j, k = divmod(i, 2)
+        cnt = F.shiftright(F.col(f"p{j}"), 32 * k).bitwiseAND(
+            F.lit(0xFFFFFFFF).cast("long"))
         sim = sim.bitwiseOR(
             F.when(cnt * 2 > F.col("__n"),
                    F.shiftleft(F.lit(1).cast("long"), i))
             .otherwise(F.lit(0).cast("long"))
         )
-    small = packed.where(F.col("__n") <= F.lit(lane_cap)).select(
-        F.col(id_col), sim.alias("__sim"))
-    big_ids = packed.where(F.col("__n") > F.lit(lane_cap)).select(id_col)
-    big = _signed_bit_sums(
-        tok.join(F.broadcast(big_ids), id_col, "left_semi"), id_col, nbits)
-    hashes = small.unionByName(big).withColumnRenamed("__sim", out)
+    # loud guard, not a silent lane corruption: count(*) itself cannot
+    # overflow, so a >= 2^31-token group aborts the job with a message
+    # (assert_true) — reaching it requires billions of rows per id
+    guard = F.assert_true(
+        F.col("__n") < F.lit(_GROUP_CAP),
+        F.lit(f"simhash group exceeds {_GROUP_CAP} tokens: packed 32-bit "
+              "lanes would overflow"))
+    hashes = packed.select(
+        F.col(id_col),
+        F.when(guard.isNull(), sim).alias(out),
+    )
     # token-less docs keep a NULL simhash: coalescing to 0 would make every
     # empty document a hamming-0 "duplicate" of any real document whose
     # bit-sums legitimately come out all non-positive

@@ -273,36 +273,42 @@ def _simhash_corpus(spark):
 
 
 @pytest.mark.parametrize("hash_method", ["xxhash64", "poly31"])
-def test_simhash_packed_matches_exact(spark, hash_method):
-    """The packed-lane aggregate (round-5 rewrite) is bit-identical to the
-    wide signed-sum formulation: lane_cap=0 routes EVERY group through the
-    exact fallback, so comparing it against the default-packed run checks
-    both directions of the split (incl. sign-bit 63 and ties)."""
-    from dagli_spark.operators.dedup import simhash
+def test_simhash_packed_matches_signed_sums(spark, hash_method):
+    """The packed 32-bit-lane aggregate (round-5 rewrite) is bit-identical
+    to the wide signed-sum reference formulation `_signed_bit_sums` —
+    including repeated tokens (multiset), even token counts (tie
+    s_i == 0 -> bit 0), the sign bit, and multi-row ids (groups span
+    rows)."""
+    from dagli_spark.functions.text import tokens
+    from dagli_spark.operators.dedup import _signed_bit_sums, simhash
 
     df = _simhash_corpus(spark)
+    # duplicate a few ids across extra rows: the group is the id, not the row
+    extra = df.where(F.col("doc_id").isin("d01", "d05")).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zz yy zz")))
+    df = df.unionByName(extra)
     packed = {r["doc_id"]: r["simhash"]
               for r in simhash(df, "text", id_col="doc_id",
                                hash_method=hash_method).collect()}
-    exact = {r["doc_id"]: r["simhash"]
-             for r in simhash(df, "text", id_col="doc_id",
-                              hash_method=hash_method,
-                              lane_cap=0).collect()}
-    assert packed == exact
-    assert packed["empty"] is None
-
-
-def test_simhash_mixed_cap_split(spark):
-    """Groups straddling lane_cap: the under-cap docs ride the packed path
-    while over-cap docs recompute through the signed-sum fallback, and the
-    union equals the all-exact answer."""
-    from dagli_spark.operators.dedup import simhash
-
-    df = _simhash_corpus(spark)
-    mixed = {r["doc_id"]: r["simhash"]
-             for r in simhash(df, "text", id_col="doc_id",
-                              lane_cap=5).collect()}
-    exact = {r["doc_id"]: r["simhash"]
-             for r in simhash(df, "text", id_col="doc_id",
-                              lane_cap=0).collect()}
-    assert mixed == exact
+    nbits = 32 if hash_method == "poly31" else 64
+    tok = df.select("doc_id",
+                    F.explode(tokens(F.lower(F.col("text")))).alias("__t"))
+    if hash_method == "poly31":
+        from dagli_spark.operators.dedup import (
+            _POLY_M,
+            _poly31,
+            poly_hash_params,
+        )
+        (a1, b1), (a2, b2) = poly_hash_params(2, 11)
+        ph = _poly31(F.col("__t"))
+        h = F.pmod(ph * F.lit(a1) + F.lit(b1), F.lit(_POLY_M)).bitwiseOR(
+            F.shiftleft(F.pmod(ph * F.lit(a2) + F.lit(b2), F.lit(_POLY_M))
+                        .bitwiseAND(F.lit(1)), 31))
+    else:
+        h = F.xxhash64(F.lit(11), F.col("__t"))
+    ref = {r["doc_id"]: r["__sim"]
+           for r in _signed_bit_sums(tok.withColumn("__h", h),
+                                     "doc_id", nbits).collect()}
+    # reference agg has no row for the token-less doc; simhash leaves NULL
+    assert packed.pop("empty") is None
+    assert packed == ref
