@@ -15,6 +15,9 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd  # module-level: pandas_udf hints stringify under
+# `from __future__ import annotations` and resolve against module globals
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1135,6 +1138,156 @@ def _tokens_en_core_oracle() -> str:
     """
 
 
+def q_audio_features(spark, sf_dir):
+    """Multimodal audio through the REAL RIFF/WAVE PCM decoder
+    (features/multimodal._decode_wav, stdlib wave — round 5): a
+    doc_id-derived probe builds constant-amplitude WAV payloads (plus a
+    FAKA-container branch and a truncated-WAV corrupt branch) in an
+    Arrow-batched UDF, decodes them through with_audio_features, and the
+    oracle computes every feature ANALYTICALLY — a constant signal's rms
+    and peak are exactly c/32768 (dyadic, bit-exact through numpy's
+    sum/mean/sqrt), duration is one IEEE division both engines round
+    identically, zero-crossing rate is exactly 0. Corrupt rows must
+    degrade to nulls, never fail the stage."""
+    from dagli_spark.features.multimodal import (
+        encode_fake_audio,
+        with_audio_features,
+    )
+
+    @F.pandas_udf("binary")
+    def wav_probe(doc_id: pd.Series) -> pd.Series:
+        import io
+        import wave
+
+        import numpy as np
+
+        out = []
+        for i in doc_id:
+            i = int(i)
+            n = 1024 + 32 * (i % 8)
+            c = 256 * (1 + i % 64)
+            m7 = i % 7
+            if m7 == 5:
+                out.append(encode_fake_audio(
+                    np.full(n, c, np.int16), 8000))
+                continue
+            buf = io.BytesIO()
+            w = wave.open(buf, "wb")
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(np.full(n, c, dtype="<i2").tobytes())
+            w.close()
+            b = buf.getvalue()
+            out.append(b[:37] if m7 == 3 else b)
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    out = with_audio_features(d.withColumn("audio_bytes",
+                                           wav_probe("doc_id")))
+    return out.select(
+        "doc_id",
+        F.round("au_duration_s", 9).alias("au_duration_s"),
+        "au_sample_rate",
+        F.round("au_rms", 9).alias("au_rms"),
+        F.round("au_zero_cross_rate", 9).alias("au_zero_cross_rate"),
+        F.round("au_peak", 9).alias("au_peak"),
+    )
+
+
+def _audio_features_oracle() -> str:
+    # analytic expectations; m7=3 is the truncated-WAV corrupt branch
+    return """
+        WITH p AS (SELECT doc_id,
+                          1024 + 32 * (doc_id % 8) AS n,
+                          256 * (1 + doc_id % 64) AS c,
+                          doc_id % 7 AS m7
+                   FROM documents)
+        SELECT doc_id,
+               CASE WHEN m7 = 3 THEN NULL
+                    ELSE round(n / CAST(8000 AS DOUBLE), 9) END AS au_duration_s,
+               CASE WHEN m7 = 3 THEN NULL
+                    ELSE CAST(8000 AS INTEGER) END AS au_sample_rate,
+               CASE WHEN m7 = 3 THEN NULL
+                    ELSE round(c / CAST(32768 AS DOUBLE), 9) END AS au_rms,
+               CASE WHEN m7 = 3 THEN NULL
+                    ELSE CAST(0.0 AS DOUBLE) END AS au_zero_cross_rate,
+               CASE WHEN m7 = 3 THEN NULL
+                    ELSE round(c / CAST(32768 AS DOUBLE), 9) END AS au_peak
+        FROM p
+    """
+
+
+def q_video_features(spark, sf_dir):
+    """Multimodal video via the FAKV container (the real-demuxer swap
+    point stays env-gated; the frame-sampling + streaming-fold feature
+    math is the thing under test): alternating constant frames make mean
+    brightness a two-term integer ratio and motion energy exactly
+    |200 - v| — both computed analytically by the oracle. Includes a
+    zero-frame branch (counts 0, stats NULL) and a truncated-header
+    corrupt branch (all NULL)."""
+    from dagli_spark.features.multimodal import (
+        encode_fake_video,
+        with_video_features,
+    )
+
+    @F.pandas_udf("binary")
+    def fakv_probe(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for i in doc_id:
+            i = int(i)
+            m9 = i % 9
+            if m9 == 4:
+                out.append(b"FAKV\x00")  # truncated header
+                continue
+            if m9 == 7:
+                out.append(encode_fake_video(np.zeros((0, 8, 8), np.uint8)))
+                continue
+            nf = 2 + i % 5
+            ve = 16 * (1 + i % 12)
+            frames = np.stack([
+                np.full((8, 8), ve if k % 2 == 0 else 200, np.uint8)
+                for k in range(nf)])
+            out.append(encode_fake_video(frames))
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    out = with_video_features(d.withColumn("video_bytes",
+                                           fakv_probe("doc_id")))
+    return out.select(
+        "doc_id", "vi_n_frames", "vi_sampled_frames",
+        F.round("vi_mean_brightness", 9).alias("vi_mean_brightness"),
+        F.round("vi_motion_energy", 9).alias("vi_motion_energy"),
+    )
+
+
+def _video_features_oracle() -> str:
+    # m9=4 truncated header -> all NULL; m9=7 zero frames -> counts 0,
+    # stats NULL; else ceil(nf/2) frames at ve and floor(nf/2) at 200
+    return """
+        WITH p AS (SELECT doc_id,
+                          2 + doc_id % 5 AS nf,
+                          16 * (1 + doc_id % 12) AS ve,
+                          doc_id % 9 AS m9
+                   FROM documents)
+        SELECT doc_id,
+               CASE WHEN m9 = 4 THEN NULL WHEN m9 = 7 THEN 0
+                    ELSE CAST(nf AS INTEGER) END AS vi_n_frames,
+               CASE WHEN m9 = 4 THEN NULL WHEN m9 = 7 THEN 0
+                    ELSE CAST(nf AS INTEGER) END AS vi_sampled_frames,
+               CASE WHEN m9 = 4 OR m9 = 7 THEN NULL
+                    ELSE round(((nf + 1) // 2 * ve + nf // 2 * 200)
+                               / CAST(nf AS DOUBLE), 9)
+               END AS vi_mean_brightness,
+               CASE WHEN m9 = 4 OR m9 = 7 THEN NULL
+                    ELSE round(CAST(abs(200 - ve) AS DOUBLE), 9)
+               END AS vi_motion_energy
+        FROM p
+    """
+
+
 def q_northrule_temporal(spark, sf_dir):
     """The flagship pipeline's TEMPORAL feature subset (sessionize + lag +
     rolling + strict as-of), oracle-checkable over the standard events table
@@ -1191,6 +1344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_temporal": q_northrule_temporal,
         "phone_intl2": q_phone_intl2,
         "tokens_en_core": q_tokens_en_core,
+        "audio_features": q_audio_features,
+        "video_features": q_video_features,
         "tokens_ascii": q_tokens_ascii,
         "phone_intl": q_phone_intl,
         "phone_plan": q_phone_plan,
@@ -1238,9 +1393,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "many_hot": q_many_hot,
         "grouped_multiplicity": q_grouped_multiplicity,
         "null_filtered_normalized": q_null_filtered_normalized,
+        # ---- past position 50: replica-checked every run -----------------
+        # (ranking_eval/multinomial_eval rotated out by the round-5
+        # audio/video multimodal rows — r04-green, replica-pinned)
         "ranking_eval": q_ranking_eval,
         "multinomial_eval": q_multinomial_eval,
-        # ---- past position 50: replica-checked every run -----------------
         "topk_eval": q_topk_eval,
         "vector_accessors": q_vector_accessors,
         "dist_vector_bridge": q_dist_vector_bridge,
@@ -2271,6 +2428,8 @@ def oracle_sql() -> dict[str, str]:
         "northrule_features": _northrule_features_oracle(),
         "tokens_ascii": _tokens_ascii_oracle(),
         "tokens_en_core": _tokens_en_core_oracle(),
+        "audio_features": _audio_features_oracle(),
+        "video_features": _video_features_oracle(),
         "phone_intl": _phone_intl_oracle(),
         "phone_intl2": _phone_intl2_oracle(),
         # minhash_pairs / simhash_pairs: xxhash64-family
