@@ -49,7 +49,13 @@ _G: dict = {}
 def _init(tier: str, per_worker: int):
     """Worker initializer: load this worker's blob set ONCE (imports,
     page-cache, numpy warm) so the timed map measures pure kernel work —
-    not interpreter spawn, module import, or blob pickling."""
+    not interpreter spawn, module import, or blob pickling. One BLAS
+    thread per worker, pinned HERE (before numpy loads in this spawned
+    interpreter) — parallelism is the pool's job; inheriting it from a
+    caller's Spark-session env would be an invisible dependency."""
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     import pandas as pd  # noqa: F401
 
     _G["blobs"] = _load_blobs(tier, per_worker)

@@ -1752,7 +1752,7 @@ _ASOF_ORACLE = """
 """
 
 
-def _northrule_features_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _northrule_features_oracle() -> str:
     """Full DuckDB replay of the flagship over the SAME fixture parquet
     the Spark query reads (fixtures.fixture_root). Temporal features are
     re-derived with plain SQL windows + the as-of LATERAL; the six pixel
@@ -1761,19 +1761,28 @@ def _northrule_features_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     Arrow decode kernel — so the row checks the decode+reduction round
     trip end to end.
 
-    The tier is derived from ``sf_dir`` with the SAME mapping q_northrule
-    uses (driver contract: oracles run at sf0.01 -> 'correctness'), and
-    the fixture is materialized here if the Spark side hasn't run yet —
-    the oracle must not depend on evaluation order or error into a DuckDB
-    file-not-found."""
+    Tier: pinned to 'correctness' because oracle_sql() takes no sf_dir by
+    driver contract — the gate runs at sf0.01, which is exactly the tier
+    q_northrule derives for that sf_dir (northrule_tier). If the fixture
+    is missing, it is materialized through an ALREADY-EXISTING Spark
+    session only (the caller's — config respected); building a session
+    here would hijack getOrCreate for every later caller in the process
+    (a default local[32] leaked into the pytest session once). A driver
+    that executes DuckDB before ANY Spark work on a fresh host still
+    needs the Spark side to run first — documented residual, same as the
+    r04 contract."""
+    from pyspark.sql import SparkSession
+
     from dagli_spark.fixtures import fixture_root
 
-    tier = northrule_tier(sf_dir)
+    tier = "correctness"
     root = fixture_root(tier)
     if not os.path.isdir(root):
-        from dagli_spark import get_spark
-        from dagli_spark.fixtures import materialize
-        materialize(get_spark("oracle-fixture"), tier)
+        sess = (SparkSession.getActiveSession()
+                or getattr(SparkSession, "_instantiatedSession", None))
+        if sess is not None:
+            from dagli_spark.fixtures import materialize
+            materialize(sess, tier)
     win = "PARTITION BY entity_id ORDER BY event_time, eseq"
     px = ["px_mean_r", "px_mean_g", "px_mean_b", "px_std",
           "px_brightness", "px_edge_energy"]

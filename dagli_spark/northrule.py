@@ -158,19 +158,28 @@ def _hot_carry_rows(events: DataFrame, is_hot, width_us: int, *,
     # other twice. Appending the remaining data columns as tiebreaks makes
     # the assignment reproducible; fully-identical rows may still swap,
     # which is observationally invisible.
-    # tiebreak columns restricted to orderable SCALAR types: a map (or
-    # array-of-map) column would make the window sort throw
-    # AnalysisException, and a fat binary column would be dragged into the
-    # per-bucket sort key for no disambiguation value — skipped columns
-    # only widen the "fully-identical rows may swap" class, never break
-    # the route-key dedup
-    from pyspark.sql.types import (BooleanType, DateType, NumericType,
-                                   StringType, TimestampType)
-    _orderable = (NumericType, StringType, BooleanType,
-                  TimestampType, DateType)
+    # tiebreak columns restricted to ORDERABLE types (Spark's sense:
+    # everything except maps, recursively — binary and arrays/structs of
+    # orderables DO sort and DO disambiguate, so they stay in the key; a
+    # map column would make the window sort throw AnalysisException).
+    # Dropping an orderable payload column here would reintroduce the
+    # route-swap corruption this sort exists to prevent: two rows equal
+    # on every kept column but different in the dropped one could take
+    # swapped __rid values between the tail and horizon routes.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
     tiebreaks = [F.col(f.name).desc() for f in events.schema.fields
                  if f.name not in ("entity_id", "event_time", "eseq")
-                 and isinstance(f.dataType, _orderable)]
+                 and _orderable(f.dataType)]
     w_desc = Window.partitionBy("entity_id", "__b").orderBy(
         F.col("event_time").desc(), F.col("eseq").desc(), *tiebreaks)
     e = (events.where(is_hot).withColumn("__b", F.floor(us / width_us))

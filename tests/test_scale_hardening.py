@@ -321,7 +321,7 @@ def test_keepset_strategies_agree_and_scale_k10k(spark):
     assert "monotonically_increasing_id" in plan  # join path, not mask
 
 
-def test_kernel_probe_weak_scaling_8_to_32(spark):
+def test_kernel_probe_weak_scaling_8_to_32():
     """The PORTABLE face of the north-rule N->4N scaling criterion
     (BENCH/BASELINE.md round-4/5 concession table): the job's own
     decode+stat kernel — no Spark, no JVM, plain multiprocessing, weak
@@ -335,6 +335,9 @@ def test_kernel_probe_weak_scaling_8_to_32(spark):
     import importlib
     import sys
 
+    if (os.cpu_count() or 0) < 32:
+        pytest.skip(f"host has {os.cpu_count()} CPUs — 32 workers would "
+                    "measure oversubscription, not scaling")
     load1 = os.getloadavg()[0]
     if load1 > 2.0:
         pytest.skip(f"host not quiet (load {load1:.2f}) — bench discipline")
