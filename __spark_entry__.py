@@ -1138,6 +1138,47 @@ def _tokens_en_core_oracle() -> str:
     """
 
 
+def q_tokens_de_core(spark, sf_dir):
+    """The GERMAN locale tokenizer (the reference's JFlexGermanLexer
+    path, GermanAbbrev + genitive clitic loaded) over the document subset
+    where BOTH its lookahead rules cannot fire (no apostrophe, no
+    GermanAbbrev+period substring — text.DE_CORE_EXCLUDE_RES): there the
+    DE output equals the lookahead-free GENERIC alternation verbatim
+    (fuzz-pinned in tests/test_tokens_locale.py), so the DE path joins EN
+    (tokens_en_core) and the generic lexer (tokens_ascii) in driver-
+    oracle territory; the full clitic/abbrev behavior stays pinned by
+    the Python-oracle goldens."""
+    from dagli_spark.functions.text import DE_CORE_EXCLUDE_RES
+
+    d = _t(spark, sf_dir, "documents")
+    for r in DE_CORE_EXCLUDE_RES:
+        d = d.where(~F.col("text").rlike(r))
+    return d.select(
+        "doc_id",
+        F.posexplode(T.tokens_locale("text", "de")).alias("pos", "token"))
+
+
+def _tokens_de_core_oracle() -> str:
+    from dagli_spark.functions.text import (
+        DE_CORE_EXCLUDE_RES,
+        locale_pattern_source,
+    )
+
+    pat = locale_pattern_source("xx").replace("'", "''")
+    conds = " AND ".join(
+        f"NOT regexp_matches(text, '{r.replace(chr(39), chr(39) * 2)}')"
+        for r in DE_CORE_EXCLUDE_RES)
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          regexp_extract_all(text, '{pat}', 0, 'i') AS toks
+                   FROM documents
+                   WHERE {conds})
+        SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+               unnest(toks) AS token
+        FROM t
+    """
+
+
 def q_audio_features(spark, sf_dir):
     """Multimodal audio through the REAL RIFF/WAVE PCM decoder
     (features/multimodal._decode_wav, stdlib wave — round 5): a
@@ -1347,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_features": q_video_features,
         "tokens_ascii": q_tokens_ascii,
+        "tokens_de_core": q_tokens_de_core,
         "phone_intl": q_phone_intl,
         "phone_plan": q_phone_plan,
         "top_by_value": q_top_by_value,
@@ -1392,10 +1434,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "many_hot": q_many_hot,
         "grouped_multiplicity": q_grouped_multiplicity,
-        "null_filtered_normalized": q_null_filtered_normalized,
         # ---- past position 50: replica-checked every run -----------------
-        # (ranking_eval/multinomial_eval rotated out by the round-5
-        # audio/video multimodal rows — r04-green, replica-pinned)
+        # (ranking_eval/multinomial_eval/null_filtered_normalized rotated
+        # out by the round-5 multimodal + tokens_de_core rows — all
+        # r04-green, replica-pinned)
+        "null_filtered_normalized": q_null_filtered_normalized,
         "ranking_eval": q_ranking_eval,
         "multinomial_eval": q_multinomial_eval,
         "topk_eval": q_topk_eval,
@@ -2439,6 +2482,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_en_core": _tokens_en_core_oracle(),
         "audio_features": _audio_features_oracle(),
         "video_features": _video_features_oracle(),
+        "tokens_de_core": _tokens_de_core_oracle(),
         "phone_intl": _phone_intl_oracle(),
         "phone_intl2": _phone_intl2_oracle(),
         # minhash_pairs / simhash_pairs: xxhash64-family

@@ -441,6 +441,18 @@ EN_CORE_EXCLUDE_RES = (
     r"(?i)(?:" + _EN_ABBREV + r")\.",          # abbrev-dot over-approx
 )
 
+# Same trick for the GERMAN locale (round 5): BOTH DE extras are
+# lookahead rules (genitive 's clitic needs an apostrophe; abbrev-dot
+# needs a GermanAbbrev+period substring), so on documents these filters
+# pass, tokenize_text(s, "de") equals the lookahead-free GENERIC
+# alternation verbatim — locale_pattern_source("xx") IS the DE-core
+# pattern, replayable in DuckDB (driver row tokens_de_core).
+DE_CORE_EXCLUDE_RES = (
+    "[^ -~]",                                  # non-printable-ASCII
+    "['`]",                                    # apostrophe family in ASCII
+    r"(?i)(?:" + _DE_ABBREV + r")\.",          # abbrev-dot over-approx
+)
+
 
 def _locale_pattern(locale: str):
     """Compiled per-locale rule set (executor-local cache)."""

@@ -102,3 +102,41 @@ def test_golden_cjk_char_fallback():
     assert tokenize_text("日本語です", "ja") == ["日", "本", "語", "で", "す"]
     assert tokenize_text("漢字 and kana カナ", "zh") == \
         ["漢", "字", "and", "kana", "カ", "ナ"]
+
+
+def test_core_subset_equivalence_fuzz():
+    """The driver rows tokens_en_core / tokens_de_core rest on this claim:
+    on documents passing the *_CORE_EXCLUDE_RES filters, the FULL locale
+    tokenizer equals its lookahead-free core alternation verbatim. Fuzz it
+    with deterministic ASCII word soup (incl. abbrev-like words WITHOUT
+    dots, numbers, dates, hyphens, punctuation)."""
+    import random
+    import re
+
+    from dagli_spark.functions.text import (
+        DE_CORE_EXCLUDE_RES,
+        EN_CORE_EXCLUDE_RES,
+        locale_pattern_source,
+        locale_pattern_source_en_core,
+        tokenize_text,
+    )
+
+    vocab = ["alpha", "Mr", "bzw", "Dr", "e-mail", "AT&T", "C++", "1,234.5",
+             "12/03/21", "14:30", "report.pdf", "anti-virus", "Ph", "x",
+             "#tag", "@user", "...", "==", "!?", "(", ")", ";", "-", "99"]
+    rng = random.Random(11)
+    cores = {
+        "en": (EN_CORE_EXCLUDE_RES,
+               re.compile(locale_pattern_source_en_core(), re.I)),
+        "de": (DE_CORE_EXCLUDE_RES,
+               re.compile(locale_pattern_source("xx"), re.I)),
+    }
+    checked = 0
+    for _ in range(400):
+        s = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+        for loc, (filters, core_pat) in cores.items():
+            if any(re.search(f, s) for f in filters):
+                continue
+            assert tokenize_text(s, loc) == core_pat.findall(s), (loc, s)
+            checked += 1
+    assert checked > 300  # the filters must not exclude everything
