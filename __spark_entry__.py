@@ -1260,20 +1260,23 @@ def _audio_features_oracle() -> str:
 
 
 def q_video_features(spark, sf_dir):
-    """Multimodal video via the FAKV container (the real-demuxer swap
-    point stays env-gated; the frame-sampling + streaming-fold feature
-    math is the thing under test): alternating constant frames make mean
-    brightness a two-term integer ratio and motion energy exactly
-    |200 - v| — both computed analytically by the oracle. Includes a
-    zero-frame branch (counts 0, stats NULL) and a truncated-header
-    corrupt branch (all NULL)."""
+    """Multimodal video through BOTH supported containers: rows with
+    doc_id % 3 == 1 encode as REAL YUV4MPEG2 (features/multimodal
+    ._parse_y4m — pure-numpy demux of the public raw-video interchange
+    format, round-5 second session) and the rest as the FAKV test
+    container; identical luma frames must feature identically, so ONE
+    analytic oracle covers both demux paths. Alternating constant frames
+    make mean brightness a two-term integer ratio and motion energy
+    exactly |200 - v|. Includes a zero-frame branch (counts 0, stats
+    NULL) and a truncated-header corrupt branch (all NULL)."""
     from dagli_spark.features.multimodal import (
         encode_fake_video,
+        encode_y4m,
         with_video_features,
     )
 
     @F.pandas_udf("binary")
-    def fakv_probe(doc_id: pd.Series) -> pd.Series:
+    def video_probe(doc_id: pd.Series) -> pd.Series:
         import numpy as np
 
         out = []
@@ -1291,12 +1294,13 @@ def q_video_features(spark, sf_dir):
             frames = np.stack([
                 np.full((8, 8), ve if k % 2 == 0 else 200, np.uint8)
                 for k in range(nf)])
-            out.append(encode_fake_video(frames))
+            out.append(encode_y4m(frames) if i % 3 == 1
+                       else encode_fake_video(frames))
         return pd.Series(out)
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     out = with_video_features(d.withColumn("video_bytes",
-                                           fakv_probe("doc_id")))
+                                           video_probe("doc_id")))
     return out.select(
         "doc_id", "vi_n_frames", "vi_sampled_frames",
         F.round("vi_mean_brightness", 9).alias("vi_mean_brightness"),
