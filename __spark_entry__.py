@@ -668,6 +668,69 @@ def _phone_intl_oracle() -> str:
     """
 
 
+def q_phone_intl3(spark, sf_dir):
+    """ContainsPhoneNumber round-5 second-session region plans
+    (CN/IT/ES/MX — four more high-traffic regions behind the same
+    leniency API; goldens in tests/test_dagli_golden.py mirror
+    libphonenumber's public example numbers). A doc_id-derived probe
+    cycles one valid number per region (the MX branch through the
+    parenthesized-area form; the ES branch through the trunk-less
+    9-digit plan) plus a no-phone branch; every (region, leniency)
+    decision replays in DuckDB with the byte-identical RE2-safe
+    pattern."""
+    d = _t(spark, sf_dir, "documents")
+    four = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    probe = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("dianhua +86 131 2345 "), four))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("chiama +39 02 3661 "), four))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("llama +34 810 123 "), four.substr(1, 3)))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("marca (55) 1234 "), four))
+        .otherwise(F.concat(F.lit("ref #"), four.substr(1, 3)))
+    )
+    cols = [F.col("doc_id")]
+    for region in ("CN", "IT", "ES", "MX"):
+        for len_ in ("valid", "possible"):
+            cols.append(
+                T.contains_phone(probe, region=region, leniency=len_)
+                .alias(f"{region.lower()}_{len_}"))
+    return d.select(*cols)
+
+
+def _phone_intl3_oracle() -> str:
+    from dagli_spark.functions.text import phone_pattern
+
+    checks = ",\n                   ".join(
+        f"regexp_matches(probe, '{phone_pattern(r, le)}') "
+        f"AS {r.lower()}_{le}"
+        for r in ("CN", "IT", "ES", "MX") for le in ("valid", "possible"))
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   CASE
+                     WHEN doc_id % 5 = 0 THEN 'dianhua +86 131 2345 ' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     WHEN doc_id % 5 = 1 THEN 'chiama +39 02 3661 ' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     WHEN doc_id % 5 = 2 THEN 'llama +34 810 123 ' ||
+                       substr(lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                              1, 3)
+                     WHEN doc_id % 5 = 3 THEN 'marca (55) 1234 ' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE 'ref #' ||
+                       substr(lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                              1, 3)
+                   END AS probe
+            FROM documents)
+        SELECT doc_id,
+               {checks}
+        FROM p
+    """
+
+
 def q_phone_intl2(spark, sf_dir):
     """ContainsPhoneNumber round-5 region plans (JP/IN/BR/AU — the next
     four high-traffic regions behind the same leniency API; goldens in
@@ -1388,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_features": q_northrule,
         "northrule_temporal": q_northrule_temporal,
         "phone_intl2": q_phone_intl2,
+        "phone_intl3": q_phone_intl3,
         "tokens_en_core": q_tokens_en_core,
         "audio_features": q_audio_features,
         "video_features": q_video_features,
@@ -2489,6 +2553,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_de_core": _tokens_de_core_oracle(),
         "phone_intl": _phone_intl_oracle(),
         "phone_intl2": _phone_intl2_oracle(),
+        "phone_intl3": _phone_intl3_oracle(),
         # minhash_pairs / simhash_pairs: xxhash64-family
         # dependent (documented different hash family than the reference's
         # MurmurHash3) — rows-only; tokens_locale: rule regex needs

@@ -110,8 +110,16 @@ _FR_VALID_BODY = (
 # +81 3-3777-1111 / mobile +81 90-1234-5678, IN mobile +91 74104 10123 /
 # Delhi fixed +91 11 2345 6789, BR fixed +55 11 2345-6789 / mobile
 # +55 11 96123-4567, AU fixed +61 2 3661 8300 / mobile +61 412 345 678).
+# Round-5 second session: CN/IT/ES/MX, same structural port. Goldens
+# mirror libphonenumber's public example numbers (CN fixed
+# +86 10 1234 5678 / mobile +86 131 2345 6789, IT fixed +39 02 3661 8300
+# / mobile +39 312 345 6789 — IT's leading 0 is part of the number, no
+# trunk stripping, a documented libphonenumber quirk; ES fixed
+# +34 810 123 456 / mobile +34 612 345 678 — 9 digits, no trunk; MX
+# fixed +52 200 123 4567 / legacy mobile +52 1 222 123 4567 — no trunk
+# since the 2019 renumbering, so grouped bare 10-digit forms are VALID).
 # Scope ceiling vs the reference (text-phone/.../ContainsPhoneNumber.java,
-# which inherits libphonenumber's full ~240-region metadata): 8 hand-
+# which inherits libphonenumber's full ~240-region metadata): 12 hand-
 # ported regions — the plan table is the extension point.
 _JP_VALID_BODY = (
     r"((\+81[-. ]?|0)"
@@ -138,6 +146,32 @@ _AU_VALID_BODY = (
     r"([2378][-. ]?\d{4}[-. ]?\d{4}"   # fixed 0A BBBB BBBB (9sd)
     r"|4\d{2}[-. ]?\d{3}[-. ]?\d{3})"  # mobile 04XX XXX XXX (9sd)
     r"|\(0[2378]\)[-. ]?\d{4}[-. ]?\d{4})"
+)
+_CN_VALID_BODY = (
+    r"((\+86[-. ]?|0)"
+    r"((10|2\d)[-. ]?\d{4}[-. ]?\d{4}"       # 2-digit area (10/2X) + 8sd
+    r"|[3-9]\d{2}[-. ]?\d{3,4}[-. ]?\d{4})"  # 3-digit area + 7-8sd
+    r"|(\+86[-. ]?)?1[3-9]\d[-. ]?\d{4}[-. ]?\d{4}"  # mobile 11sd, trunkless
+    r"|\(0(10|2\d|[3-9]\d{2})\)[-. ]?\d{3,4}[-. ]?\d{4})"  # (010) 6552 9988
+)
+_IT_VALID_BODY = (
+    r"((\+39[-. ]?)?"
+    r"(0\d[-. ]?\d{4}[-. ]?\d{4}"            # 2-digit area (02/06) + 8sd
+    r"|0\d{2}[-. ]?\d{3,4}[-. ]?\d{3,4}"     # 3-digit area
+    r"|0\d{3}[-. ]?\d{2,3}[-. ]?\d{3,4}"     # 4-digit area
+    r"|3\d{2}[-. ]?\d{3}[-. ]?\d{3,4})"      # mobile 3XX XXX XXX(X)
+    r"|\(0\d{1,3}\)[-. ]?\d{3,4}[-. ]?\d{3,4})"
+)
+_ES_VALID_BODY = (
+    r"((\+34[-. ]?)?"
+    r"([6789]\d{2}([-. ]?\d{3}){2}"           # XXX XXX XXX
+    r"|[6789]\d[-. ]?\d{3}([-. ]?\d{2}){2}))"  # XX XXX XX XX
+)
+_MX_VALID_BODY = (
+    r"((\+52[-. ]?(1[-. ]?)?|01[-. ]?)?"
+    r"([1-9]\d[-. ]?\d{4}[-. ]?\d{4}"        # 2-digit area (55/81/33) + 8sd
+    r"|[1-9]\d{2}[-. ]?\d{3}[-. ]?\d{4})"    # 3-digit area + 7sd
+    r"|\(\d{2,3}\)[-. ]?\d{3,4}[-. ]?\d{4})"  # (55) 1234 5678
 )
 _PHONE_REGION_PLANS = {
     "US": {
@@ -192,6 +226,33 @@ _PHONE_REGION_PLANS = {
         # local) or 9 national significant digits
         "possible": (_PHONE_BOUND_L + r"((\+?61[-. ]?|0)?(\d[-. ]?){7,8}\d"
                      + r"|\(0[2378]\)[-. ]?\d{4}[-. ]?\d{4})"
+                     + _PHONE_BOUND_R),
+    },
+    "CN": {
+        "valid": _PHONE_BOUND_L + _CN_VALID_BODY + _PHONE_BOUND_R,
+        # CN national 7 (old local) to 12 (trunk + 3-digit area + 8sd)
+        "possible": (_PHONE_BOUND_L + r"((\+?86[-. ]?|0)?(\d[-. ]?){6,11}\d"
+                     + r"|\(0\d{1,3}\)[-. ]?\d{3,4}[-. ]?\d{4})"
+                     + _PHONE_BOUND_R),
+    },
+    "IT": {
+        "valid": _PHONE_BOUND_L + _IT_VALID_BODY + _PHONE_BOUND_R,
+        # IT national 6-11 digits (the fixed-line leading 0 counts)
+        "possible": (_PHONE_BOUND_L + r"((\+?39[-. ]?)?(\d[-. ]?){5,10}\d"
+                     + r"|\(0\d{1,3}\)[-. ]?\d{3,4}[-. ]?\d{3,4})"
+                     + _PHONE_BOUND_R),
+    },
+    "ES": {
+        "valid": _PHONE_BOUND_L + _ES_VALID_BODY + _PHONE_BOUND_R,
+        # ES national exactly 9 digits, no trunk prefix
+        "possible": (_PHONE_BOUND_L + r"(\+?34[-. ]?)?"
+                     + r"(\d[-. ]?){8}\d" + _PHONE_BOUND_R),
+    },
+    "MX": {
+        "valid": _PHONE_BOUND_L + _MX_VALID_BODY + _PHONE_BOUND_R,
+        # MX national 10 digits (+legacy mobile 1 / trunk 01 -> up to 12)
+        "possible": (_PHONE_BOUND_L + r"((\+?52[-. ]?|0)?(\d[-. ]?){9,11}\d"
+                     + r"|\(\d{2,3}\)[-. ]?\d{3,4}[-. ]?\d{4})"
                      + _PHONE_BOUND_R),
     },
 }

@@ -567,3 +567,64 @@ def test_contains_phone_intl2_region_golden(spark):
         for (t, want_p, want_v), r in zip(rows_spec, rows):
             assert r["p"] == want_p, (region, t, "possible")
             assert r["v"] == want_v, (region, t, "valid")
+
+
+def test_contains_phone_intl3_region_golden(spark):
+    """CN/IT/ES/MX plans (round-5 second session): goldens mirror
+    libphonenumber's public example constants (CN fixed +86 10 1234 5678
+    / mobile +86 131 2345 6789, IT fixed +39 02 3661 8300 / mobile
+    +39 312 345 6789, ES fixed +34 810 123 456 / mobile +34 612 345 678,
+    MX fixed +52 200 123 4567 / legacy mobile +52 1 222 123 4567).
+    Region quirks under test: IT keeps the fixed-line leading 0 as part
+    of the number (no trunk stripping); ES and post-2019 MX have no trunk
+    prefix at all, so grouped bare national forms are VALID."""
+    from dagli_spark.functions.text import contains_phone
+
+    cases = {
+        "CN": [
+            ("+86 10 1234 5678", True, True),
+            ("010 1234 5678", True, True),
+            ("(010) 6552 9988", True, True),
+            ("+86 131 2345 6789", True, True),
+            ("13123456789", True, True),
+            ("+86 755 8202 1234", True, True),
+            ("1234 5678", True, False),       # 8-digit local: len-only
+            ("total 123456 yuan", False, False),
+        ],
+        "IT": [
+            ("+39 02 3661 8300", True, True),
+            ("02 3661 8300", True, True),     # leading 0 IS the number
+            ("(02) 3661 8300", True, True),
+            ("+39 312 345 6789", True, True),
+            ("312 345 6789", True, True),
+            ("123456", True, False),          # 6-digit run: len-only
+            ("pay 4321 euro", False, False),
+        ],
+        "ES": [
+            ("+34 810 123 456", True, True),
+            ("810 123 456", True, True),      # no trunk prefix in ES
+            ("+34 612 345 678", True, True),
+            ("91 234 56 78", True, True),     # 2-3-2-2 grouping
+            ("123 456 789", True, False),     # 9 digits, bad leading: len
+            ("room 404", False, False),
+        ],
+        "MX": [
+            ("+52 200 123 4567", True, True),
+            ("+52 1 222 123 4567", True, True),   # legacy mobile 1
+            ("(55) 1234 5678", True, True),
+            ("55 1234 5678", True, True),     # post-2019: no trunk
+            ("0123456789", True, False),      # leading-0 run: len-only
+            ("order 123456789", False, False),
+        ],
+    }
+    for region, rows_spec in cases.items():
+        df = spark.createDataFrame([(t,) for t, _, _ in rows_spec],
+                                   "t string")
+        rows = df.select(
+            contains_phone("t", region=region, leniency="possible")
+            .alias("p"),
+            contains_phone("t", region=region).alias("v"),
+        ).collect()
+        for (t, want_p, want_v), r in zip(rows_spec, rows):
+            assert r["p"] == want_p, (region, t, "possible")
+            assert r["v"] == want_v, (region, t, "valid")
