@@ -1322,6 +1322,107 @@ def _audio_features_oracle() -> str:
     """
 
 
+def q_audio_g711(spark, sf_dir):
+    """Multimodal audio through the REAL G.711 mu-law/A-law WAV decoder
+    (features/multimodal._decode_wav_companded, stdlib audioop over a
+    manual RIFF chunk walk — round-5 second session): a doc_id-derived
+    probe companding-encodes constant-amplitude signals as format-tag-7
+    (mu-law) and tag-6 (A-law) WAV, plus a truncated corrupt branch. The
+    oracle inlines the 64 relevant companding round-trip constants
+    c' = expand(compress(c)) as a literal table (same convention as the
+    fitted-literal oracles: deterministic spec-derived state, pinned at
+    build time) — a constant decoded signal's rms and peak are exactly
+    |c'|/32768 (dyadic, bit-exact through numpy), zcr exactly 0."""
+    from dagli_spark.features.multimodal import with_audio_features
+
+    @F.pandas_udf("binary")
+    def g711_probe(doc_id: pd.Series) -> pd.Series:
+        import struct
+        import warnings
+
+        import numpy as np
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+
+        def riff(payload: bytes, sr: int, tag: int) -> bytes:
+            fmt = struct.pack("<HHIIHH", tag, 1, sr, sr, 1, 8)
+            body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(payload)) + payload
+                    + (b"\x00" if len(payload) & 1 else b""))
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        out = []
+        for i in doc_id:
+            i = int(i)
+            n = 800 + 16 * (i % 8)
+            c = 256 * (1 + i % 64)
+            m5 = i % 5
+            tag = 6 if m5 == 2 else 7
+            compress = audioop.lin2alaw if tag == 6 else audioop.lin2ulaw
+            payload = compress(np.full(n, c, dtype="<i2").tobytes(), 2)
+            b = riff(payload, 8000, tag)
+            out.append(b[:37] if m5 == 3 else b)
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    out = with_audio_features(d.withColumn("audio_bytes",
+                                           g711_probe("doc_id")))
+    return out.select(
+        "doc_id",
+        F.round("au_duration_s", 9).alias("au_duration_s"),
+        "au_sample_rate",
+        F.round("au_rms", 9).alias("au_rms"),
+        F.round("au_zero_cross_rate", 9).alias("au_zero_cross_rate"),
+        F.round("au_peak", 9).alias("au_peak"),
+    )
+
+
+def _audio_g711_oracle() -> str:
+    # literal companding round-trip table: c' = expand(compress(c)) for
+    # the 64 probe amplitudes, both laws — spec-derived constants, the
+    # same pin-at-build-time shape as the fitted-literal oracles
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    def rt(c: int, law: str) -> int:
+        comp, exp = ((audioop.lin2ulaw, audioop.ulaw2lin) if law == "u"
+                     else (audioop.lin2alaw, audioop.alaw2lin))
+        raw = exp(comp(np.full(1, c, dtype="<i2").tobytes(), 2), 2)
+        return int(np.frombuffer(raw, dtype="<i2")[0])
+
+    vals = ", ".join(
+        f"({r}, {rt(256 * (1 + r), 'u')}, {rt(256 * (1 + r), 'a')})"
+        for r in range(64))
+    return f"""
+        WITH p AS (SELECT doc_id,
+                          800 + 16 * (doc_id % 8) AS n,
+                          doc_id % 64 AS r,
+                          doc_id % 5 AS m5
+                   FROM documents),
+             j AS (SELECT p.*, CASE WHEN m5 = 2 THEN ca ELSE cu END AS cp
+                   FROM p JOIN (VALUES {vals}) m(r, cu, ca) ON p.r = m.r)
+        SELECT doc_id,
+               CASE WHEN m5 = 3 THEN NULL
+                    ELSE round(n / CAST(8000 AS DOUBLE), 9) END AS au_duration_s,
+               CASE WHEN m5 = 3 THEN NULL
+                    ELSE CAST(8000 AS INTEGER) END AS au_sample_rate,
+               CASE WHEN m5 = 3 THEN NULL
+                    ELSE round(cp / CAST(32768 AS DOUBLE), 9) END AS au_rms,
+               CASE WHEN m5 = 3 THEN NULL
+                    ELSE CAST(0.0 AS DOUBLE) END AS au_zero_cross_rate,
+               CASE WHEN m5 = 3 THEN NULL
+                    ELSE round(cp / CAST(32768 AS DOUBLE), 9) END AS au_peak
+        FROM j
+    """
+
+
 def q_video_features(spark, sf_dir):
     """Multimodal video through BOTH supported containers: rows with
     doc_id % 3 == 1 encode as REAL YUV4MPEG2 (features/multimodal
@@ -1454,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phone_intl3": q_phone_intl3,
         "tokens_en_core": q_tokens_en_core,
         "audio_features": q_audio_features,
+        "audio_g711": q_audio_g711,
         "video_features": q_video_features,
         "tokens_ascii": q_tokens_ascii,
         "tokens_de_core": q_tokens_de_core,
@@ -2549,6 +2651,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_ascii": _tokens_ascii_oracle(),
         "tokens_en_core": _tokens_en_core_oracle(),
         "audio_features": _audio_features_oracle(),
+        "audio_g711": _audio_g711_oracle(),
         "video_features": _video_features_oracle(),
         "tokens_de_core": _tokens_de_core_oracle(),
         "phone_intl": _phone_intl_oracle(),
