@@ -178,17 +178,26 @@ _PHONE_REGION_PLANS = {
         "valid": PHONE_VALID_RE,
         "possible": PHONE_POSSIBLE_RE,
     },
+    # GB/DE possible = length-only digit run OR the full valid body, so
+    # valid ⊆ possible holds by construction (libphonenumber invariant:
+    # every VALID number is POSSIBLE; pinned for all regions by the
+    # hypothesis fuzz in tests/test_dagli_golden.py). The bare run alone
+    # missed two valid-only shapes: paren area codes ("(030) 123456" —
+    # ')' breaks the digit run) and DE's widest split forms (area 5 +
+    # 4 + 4 digits exceeds the 11-digit possible run).
     "GB": {
         "valid": _PHONE_BOUND_L + _GB_VALID_BODY + _PHONE_BOUND_R,
         # possible lengths for GB: 7-10 national digits, optional +44
-        "possible": (_PHONE_BOUND_L + r"(\+?44[-. ]?|0)?"
-                     + r"(\d[-. ]?){6,9}\d" + _PHONE_BOUND_R),
+        "possible": (_PHONE_BOUND_L + r"((\+?44[-. ]?|0)?"
+                     + r"(\d[-. ]?){6,9}\d|" + _GB_VALID_BODY + r")"
+                     + _PHONE_BOUND_R),
     },
     "DE": {
         "valid": _PHONE_BOUND_L + _DE_VALID_BODY + _PHONE_BOUND_R,
         # DE national numbers span 6-11 digits
-        "possible": (_PHONE_BOUND_L + r"(\+?49[-. ]?|0)?"
-                     + r"(\d[-. ]?){5,10}\d" + _PHONE_BOUND_R),
+        "possible": (_PHONE_BOUND_L + r"((\+?49[-. ]?|0)?"
+                     + r"(\d[-. ]?){5,10}\d|" + _DE_VALID_BODY + r")"
+                     + _PHONE_BOUND_R),
     },
     "FR": {
         "valid": _PHONE_BOUND_L + _FR_VALID_BODY + _PHONE_BOUND_R,

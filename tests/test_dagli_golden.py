@@ -628,3 +628,44 @@ def test_contains_phone_intl3_region_golden(spark):
         for (t, want_p, want_v), r in zip(rows_spec, rows):
             assert r["p"] == want_p, (region, t, "possible")
             assert r["v"] == want_v, (region, t, "valid")
+
+
+def test_phone_valid_subset_of_possible_all_regions():
+    """Property pin for the libphonenumber invariant every plan claims
+    'by construction': any text VALID under a region plan is POSSIBLE
+    under it. Pure-regex fuzz (no Spark) over phone-shaped strings —
+    digits, separators, +cc prefixes, paren areas — across all 12
+    hand-ported regions; a counterexample means a plan's possible
+    pattern lost a grouping its valid pattern accepts."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dagli_spark.functions.text import (
+        _PHONE_REGION_PLANS,
+        phone_pattern,
+    )
+
+    compiled = {
+        r: (re.compile(phone_pattern(r, "valid")),
+            re.compile(phone_pattern(r, "possible")))
+        for r in _PHONE_REGION_PLANS
+    }
+
+    atoms = st.sampled_from(
+        ["0", "1", "2", "3", "5", "6", "7", "8", "9", "4",
+         " ", "-", ".", "(", ")", "+",
+         "+44", "+49", "+33", "+81", "+91", "+55", "+61",
+         "+86", "+39", "+34", "+52", "+1",
+         "(020)", "(030)", "(03)", "(11)", "(02)", "(55)", "(010)",
+         "call ", " now"])
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(atoms, min_size=1, max_size=14).map("".join))
+    def check(text):
+        for region, (valid, possible) in compiled.items():
+            if valid.search(text):
+                assert possible.search(text), (region, text)
+
+    check()
