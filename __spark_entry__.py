@@ -731,6 +731,76 @@ def _phone_intl3_oracle() -> str:
     """
 
 
+def q_phone_intl4(spark, sf_dir):
+    """ContainsPhoneNumber round-5 third-session region plans
+    (KR/RU/NL/TR — four more high-traffic regions behind the same
+    leniency API; goldens in tests/test_dagli_golden.py pin each plan's
+    documented national formatting conventions). A doc_id-derived probe
+    cycles one valid number per region (the RU branch through trunk 8 +
+    parenthesized area — the one plan whose trunk digit is not 0; the
+    NL branch through the paren form) plus a no-phone branch; every
+    (region, leniency) decision replays in DuckDB with the
+    byte-identical RE2-safe pattern."""
+    d = _t(spark, sf_dir, "documents")
+    four = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    probe = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("jeonhwa +82 2 312 "), four))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("zvoni 8 (495) 123-"), four.substr(1, 2),
+                       F.lit("-"), four.substr(3, 2)))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("bel (020) 624 "), four))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("ara 0212 345 "), four.substr(1, 2),
+                       F.lit(" "), four.substr(3, 2)))
+        .otherwise(F.concat(F.lit("ref #"), four.substr(1, 3)))
+    )
+    cols = [F.col("doc_id")]
+    for region in ("KR", "RU", "NL", "TR"):
+        for len_ in ("valid", "possible"):
+            cols.append(
+                T.contains_phone(probe, region=region, leniency=len_)
+                .alias(f"{region.lower()}_{len_}"))
+    return d.select(*cols)
+
+
+def _phone_intl4_oracle() -> str:
+    from dagli_spark.functions.text import phone_pattern
+
+    checks = ",\n                   ".join(
+        f"regexp_matches(probe, '{phone_pattern(r, le)}') "
+        f"AS {r.lower()}_{le}"
+        for r in ("KR", "RU", "NL", "TR") for le in ("valid", "possible"))
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   CASE
+                     WHEN doc_id % 5 = 0 THEN 'jeonhwa +82 2 312 ' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     WHEN doc_id % 5 = 1 THEN 'zvoni 8 (495) 123-' ||
+                       substr(lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                              1, 2) || '-' ||
+                       substr(lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                              3, 2)
+                     WHEN doc_id % 5 = 2 THEN 'bel (020) 624 ' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     WHEN doc_id % 5 = 3 THEN 'ara 0212 345 ' ||
+                       substr(lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                              1, 2) || ' ' ||
+                       substr(lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                              3, 2)
+                     ELSE 'ref #' ||
+                       substr(lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                              1, 3)
+                   END AS probe
+            FROM documents)
+        SELECT doc_id,
+               {checks}
+        FROM p
+    """
+
+
 def q_phone_intl2(spark, sf_dir):
     """ContainsPhoneNumber round-5 region plans (JP/IN/BR/AU — the next
     four high-traffic regions behind the same leniency API; goldens in
@@ -1536,8 +1606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate samples the FIRST 50
     # entries.  Round-5 rotation (VERDICT r04 task #5, oldest-evidence
     # first): (a) flagships + everything touched this round (phone_intl2 /
-    # tokens_en_core are new; phone_plan/phone_intl ride the plan-table
-    # change; top_by_value/top_by_pmi/densify ride the KeepSet
+    # phone_intl4 / tokens_en_core are new; phone_plan/phone_intl ride the
+    # plan-table change; top_by_value/top_by_pmi/densify ride the KeepSet
     # distinct/column-order fix; simhash_portable rides the packed-lane
     # aggregate rewrite; tokens_ascii + phone_intl keep their slot for a
     # second consecutive row); (b) the 19 veterans whose newest driver
@@ -1553,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_temporal": q_northrule_temporal,
         "phone_intl2": q_phone_intl2,
         "phone_intl3": q_phone_intl3,
+        "phone_intl4": q_phone_intl4,
         "tokens_en_core": q_tokens_en_core,
         "audio_features": q_audio_features,
         "audio_g711": q_audio_g711,
@@ -2657,6 +2728,7 @@ def oracle_sql() -> dict[str, str]:
         "phone_intl": _phone_intl_oracle(),
         "phone_intl2": _phone_intl2_oracle(),
         "phone_intl3": _phone_intl3_oracle(),
+        "phone_intl4": _phone_intl4_oracle(),
         # minhash_pairs / simhash_pairs: xxhash64-family
         # dependent (documented different hash family than the reference's
         # MurmurHash3) — rows-only; tokens_locale: rule regex needs

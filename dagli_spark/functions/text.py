@@ -118,8 +118,13 @@ _FR_VALID_BODY = (
 # +34 810 123 456 / mobile +34 612 345 678 — 9 digits, no trunk; MX
 # fixed +52 200 123 4567 / legacy mobile +52 1 222 123 4567 — no trunk
 # since the 2019 renumbering, so grouped bare 10-digit forms are VALID).
+# Round-5 third session: KR/RU/NL/TR, same structural port. Goldens use
+# each plan's documented national formatting conventions (ITU-T national
+# numbering plans: KR Seoul (0)2 + 7-8sd / mobile 010 + 8sd; RU trunk 8,
+# 3-digit area + 7sd grouped XXX XX-XX; NL 9sd behind trunk 0, mobile
+# (0)6 + 8sd; TR 3-digit area [25]XX + 7sd grouped XXX XX XX).
 # Scope ceiling vs the reference (text-phone/.../ContainsPhoneNumber.java,
-# which inherits libphonenumber's full ~240-region metadata): 12 hand-
+# which inherits libphonenumber's full ~240-region metadata): 16 hand-
 # ported regions — the plan table is the extension point.
 _JP_VALID_BODY = (
     r"((\+81[-. ]?|0)"
@@ -172,6 +177,30 @@ _MX_VALID_BODY = (
     r"([1-9]\d[-. ]?\d{4}[-. ]?\d{4}"        # 2-digit area (55/81/33) + 8sd
     r"|[1-9]\d{2}[-. ]?\d{3}[-. ]?\d{4})"    # 3-digit area + 7sd
     r"|\(\d{2,3}\)[-. ]?\d{3,4}[-. ]?\d{4})"  # (55) 1234 5678
+)
+_KR_VALID_BODY = (
+    r"((\+82[-. ]?|0)"
+    r"(2[-. ]?\d{3,4}[-. ]?\d{4}"           # Seoul (0)2 + 7-8sd
+    r"|[3-6]\d[-. ]?\d{3,4}[-. ]?\d{4}"     # provincial (0)XX + 7-8sd
+    r"|1[016-9][-. ]?\d{3,4}[-. ]?\d{4})"   # mobile (0)10/11/16-19 + 7-8sd
+    r"|\(0\d{1,2}\)[-. ]?\d{3,4}[-. ]?\d{4})"  # (02) 312-3456
+)
+_RU_VALID_BODY = (
+    # geographic areas 3XX/4XX/8XX, mobile 9XX; trunk 8 (not 0), so the
+    # prefix alternation is (+7|8) — grouped XXX XXX-XX-XX
+    r"((\+7[-. ]?|8[-. ]?)[3489]\d{2}[-. ]?\d{3}[-. ]?\d{2}[-. ]?\d{2}"
+    r"|(\+7[-. ]?|8[-. ]?)?\([3489]\d{2}\)[-. ]?\d{3}[-. ]?\d{2}[-. ]?\d{2})"
+)
+_NL_VALID_BODY = (
+    r"((\+31[-. ]?|0)"
+    r"([1-5]\d[-. ]?\d{3}[-. ]?\d{4}"       # 2-digit area (0)XX + 7sd
+    r"|[1-5]\d{2}[-. ]?\d{3}[-. ]?\d{3}"    # 3-digit area (0)XXX + 6sd
+    r"|6[-. ]?\d{4}[-. ]?\d{4})"            # mobile (0)6 + 8sd
+    r"|\(0\d{2,3}\)[-. ]?\d{3}[-. ]?\d{3,4})"  # (020) 624 1111
+)
+_TR_VALID_BODY = (
+    r"((\+90[-. ]?|0)[25]\d{2}[-. ]?\d{3}[-. ]?(\d{2}[-. ]?\d{2}|\d{4})"
+    r"|\(0?[25]\d{2}\)[-. ]?\d{3}[-. ]?(\d{2}[-. ]?\d{2}|\d{4}))"
 )
 _PHONE_REGION_PLANS = {
     "US": {
@@ -262,6 +291,34 @@ _PHONE_REGION_PLANS = {
         # MX national 10 digits (+legacy mobile 1 / trunk 01 -> up to 12)
         "possible": (_PHONE_BOUND_L + r"((\+?52[-. ]?|0)?(\d[-. ]?){9,11}\d"
                      + r"|\(\d{2,3}\)[-. ]?\d{3,4}[-. ]?\d{4})"
+                     + _PHONE_BOUND_R),
+    },
+    "KR": {
+        "valid": _PHONE_BOUND_L + _KR_VALID_BODY + _PHONE_BOUND_R,
+        # KR national 8 (Seoul short) to 10 (mobile) significant digits
+        "possible": (_PHONE_BOUND_L + r"((\+?82[-. ]?|0)?"
+                     + r"(\d[-. ]?){7,9}\d|" + _KR_VALID_BODY + r")"
+                     + _PHONE_BOUND_R),
+    },
+    "RU": {
+        "valid": _PHONE_BOUND_L + _RU_VALID_BODY + _PHONE_BOUND_R,
+        # RU national exactly 10 digits behind +7 / trunk 8
+        "possible": (_PHONE_BOUND_L + r"((\+?7[-. ]?|8[-. ]?)?"
+                     + r"(\d[-. ]?){9}\d|" + _RU_VALID_BODY + r")"
+                     + _PHONE_BOUND_R),
+    },
+    "NL": {
+        "valid": _PHONE_BOUND_L + _NL_VALID_BODY + _PHONE_BOUND_R,
+        # NL national exactly 9 digits behind trunk 0
+        "possible": (_PHONE_BOUND_L + r"((\+?31[-. ]?|0)?"
+                     + r"(\d[-. ]?){8}\d|" + _NL_VALID_BODY + r")"
+                     + _PHONE_BOUND_R),
+    },
+    "TR": {
+        "valid": _PHONE_BOUND_L + _TR_VALID_BODY + _PHONE_BOUND_R,
+        # TR national exactly 10 digits behind trunk 0
+        "possible": (_PHONE_BOUND_L + r"((\+?90[-. ]?|0)?"
+                     + r"(\d[-. ]?){9}\d|" + _TR_VALID_BODY + r")"
                      + _PHONE_BOUND_R),
     },
 }

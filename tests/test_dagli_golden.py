@@ -630,11 +630,70 @@ def test_contains_phone_intl3_region_golden(spark):
             assert r["v"] == want_v, (region, t, "valid")
 
 
+def test_contains_phone_intl4_region_golden(spark):
+    """KR/RU/NL/TR plans (round-5 third session): goldens use each plan's
+    documented national formatting conventions (KR Seoul 02 + 7-8sd /
+    mobile 010-XXXX-XXXX; RU trunk 8 — not 0 — with 3-digit area grouped
+    XXX XX-XX; NL 9 significant digits, mobile 06 + 8sd; TR 3-digit
+    [25]XX area + XXX XX XX). Region quirks under test: RU's non-zero
+    trunk digit; KR's variable 7-8 digit subscriber blocks; TR's
+    paren form accepting both (0212) and (212)."""
+    from dagli_spark.functions.text import contains_phone
+
+    cases = {
+        "KR": [
+            ("+82 2 312 3456", True, True),
+            ("02-312-3456", True, True),
+            ("(02) 312-3456", True, True),
+            ("010-1234-5678", True, True),
+            ("+82 10-1234-5678", True, True),
+            ("12345678", True, False),        # 8-digit run: len-only
+            ("room 101", False, False),
+        ],
+        "RU": [
+            ("+7 912 345-67-89", True, True),
+            ("8 (495) 123-45-67", True, True),
+            ("(495) 123-45-67", True, True),
+            ("8 495 123-45-67", True, True),
+            ("912 345-67-89", True, False),   # no trunk: len-only
+            ("kvartira 42", False, False),
+        ],
+        "NL": [
+            ("+31 10 123 4567", True, True),
+            ("020 624 1111", True, True),
+            ("(020) 624 1111", True, True),
+            ("06 12345678", True, True),
+            ("+31 6 12345678", True, True),
+            ("123 456 789", True, False),     # 9-digit run: len-only
+            ("gate B12", False, False),
+        ],
+        "TR": [
+            ("+90 212 345 67 89", True, True),
+            ("0212 345 67 89", True, True),
+            ("(0212) 345 67 89", True, True),
+            ("0532 123 45 67", True, True),
+            ("212 345 67 89", True, False),   # no trunk/paren: len-only
+            ("oda 1907", False, False),
+        ],
+    }
+    for region, rows_spec in cases.items():
+        df = spark.createDataFrame([(t,) for t, _, _ in rows_spec],
+                                   "t string")
+        rows = df.select(
+            contains_phone("t", region=region, leniency="possible")
+            .alias("p"),
+            contains_phone("t", region=region).alias("v"),
+        ).collect()
+        for (t, want_p, want_v), r in zip(rows_spec, rows):
+            assert r["p"] == want_p, (region, t, "possible")
+            assert r["v"] == want_v, (region, t, "valid")
+
+
 def test_phone_valid_subset_of_possible_all_regions():
     """Property pin for the libphonenumber invariant every plan claims
     'by construction': any text VALID under a region plan is POSSIBLE
     under it. Pure-regex fuzz (no Spark) over phone-shaped strings —
-    digits, separators, +cc prefixes, paren areas — across all 12
+    digits, separators, +cc prefixes, paren areas — across all 16
     hand-ported regions; a counterexample means a plan's possible
     pattern lost a grouping its valid pattern accepts."""
     import re
@@ -657,8 +716,9 @@ def test_phone_valid_subset_of_possible_all_regions():
         ["0", "1", "2", "3", "5", "6", "7", "8", "9", "4",
          " ", "-", ".", "(", ")", "+",
          "+44", "+49", "+33", "+81", "+91", "+55", "+61",
-         "+86", "+39", "+34", "+52", "+1",
+         "+86", "+39", "+34", "+52", "+1", "+82", "+7", "+31", "+90",
          "(020)", "(030)", "(03)", "(11)", "(02)", "(55)", "(010)",
+         "(495)", "(0212)",
          "call ", " now"])
 
     @settings(max_examples=400, deadline=None)
