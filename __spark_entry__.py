@@ -25,6 +25,7 @@ from dagli_spark.operators import window_features as wf
 from dagli_spark.operators.asof import asof_join
 from dagli_spark.operators.dedup import (
     exact_dedup,
+    jaccard_dup_pairs,
     minhash_lsh_pairs,
     simhash_dup_pairs,
 )
@@ -38,7 +39,11 @@ from dagli_spark.operators.fit import (
 )
 from dagli_spark.operators.evaluation import binary_evaluation
 from dagli_spark.operators.models import fit_isotonic, fit_kmeans
-from dagli_spark.operators.similarity import knn_bruteforce, knn_lsh
+from dagli_spark.operators.similarity import (
+    embedding_dup_pairs,
+    knn_bruteforce,
+    knn_lsh,
+)
 from dagli_spark.functions import core as C
 from dagli_spark.functions import distribution as D
 from dagli_spark.functions import text as T
@@ -379,6 +384,37 @@ def q_minhash_portable(spark, sf_dir):
                             hash_method="poly31")
     return out.select("id_a", "id_b",
                       F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_jaccard_dedup(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs, blocked by the documents
+    table's `lang` column (cross-language near-dups are out of scope by
+    construction, and the block bounds the quadratic verify to per-language
+    partitions — the honest scale shape for an EXACT verifier; the
+    sub-quadratic scale path is minhash_lsh_pairs / simhash_dup_pairs).
+    Hash-free — shingling, blocking, set Jaccard and the threshold all
+    replay in SQL. threshold=0.8: the synthetic corpus plants 6 near-dup
+    pairs at j>=0.98 while every non-dup pair sits under 0.1."""
+    d = _t(spark, sf_dir, "documents")
+    out = jaccard_dup_pairs(d, "text", "doc_id", n=3, threshold=0.8,
+                            block_col="lang")
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: 4-table random-hyperplane LSH
+    candidate generation + exact-cosine verify (similarity.
+    embedding_dup_pairs). The hyperplanes are pure splitmix arithmetic, so
+    the oracle replays bucketing, candidate join and the threshold verify
+    with the plane vectors inlined (same pattern as knn_lsh). threshold
+    0.35 is calibrated to the synthetic embeddings (no planted dups; max
+    pairwise cosine 0.513, nearest candidate 7e-5 off the cut — float-safe)
+    so the row exercises non-trivial candidate recall rather than
+    returning empty."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = embedding_dup_pairs(e, dim=64, id_col="vec_id",
+                              vec_col="embedding", threshold=0.35)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -1650,6 +1686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold": q_kfold,
         "text_stats": q_text_stats,
         "exact_dedup": q_exact_dedup,
+        "jaccard_dedup": q_jaccard_dedup,
+        "embedding_dedup": q_embedding_dedup,
         "top_tokens": q_top_tokens,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -1871,6 +1909,72 @@ def _minhash_portable_oracle() -> str:
                    JOIN g gb ON gb.doc_id = cand.id_b)
         SELECT id_a, id_b, round(jaccard, 4) AS jaccard
         FROM v WHERE jaccard >= 0.5
+    """
+
+
+def _jaccard_dedup_oracle() -> str:
+    """jaccard_dedup is hash-free: whitespace tokens -> 3-gram shingle
+    sets (same CTEs the green minhash_portable oracle uses) -> lang-blocked
+    pair join -> |∩|/|∪| as a double division of the same integer sizes
+    Spark divides -> round(4). q_jaccard_dedup params: n=3, threshold=0.8,
+    block_col='lang'."""
+    return r"""
+        WITH t AS (SELECT doc_id, lang,
+                          list_filter(regexp_split_to_array(trim(text),
+                              '\s+'), x -> x <> '') AS toks
+                   FROM documents),
+             g AS (SELECT doc_id, lang,
+                          list_distinct(list_transform(range(1, len(toks) - 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS sh
+                   FROM t),
+             gb AS (SELECT * FROM g WHERE len(sh) > 0),
+             cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             len(list_intersect(a.sh, b.sh))
+                               / CAST(len(list_distinct(
+                                     list_concat(a.sh, b.sh))) AS DOUBLE)
+                               AS j
+                      FROM gb a JOIN gb b
+                        ON a.doc_id < b.doc_id AND a.lang = b.lang)
+        SELECT id_a, id_b, round(j, 4) AS jaccard
+        FROM cand WHERE j >= 0.8
+    """
+
+
+def _embedding_dedup_oracle() -> str:
+    """embedding_dedup is NOT hash-family-bound: the hyperplanes come from
+    the pure splitmix generator (similarity._hyperplanes), so bucketing,
+    candidate join and the exact-cosine threshold verify replay in SQL
+    with the plane vectors inlined (q_embedding_dedup params: dim=64,
+    num_planes=8, num_tables=4, seed=17, threshold=0.35)."""
+    from dagli_spark.operators.similarity import _hyperplanes
+
+    num_planes, num_tables, seed = 8, 4, 17
+    sides = []
+    for t in range(num_tables):
+        planes = _hyperplanes(64, num_planes, seed + 101 * t)
+        bits = []
+        for p_i, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+            dot = (f"list_sum(list_transform(range(1, 65), i -> "
+                   f"CAST(embedding[i] AS DOUBLE) * ({lit})[i]))")
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p_i} ELSE 0 END)")
+        bucket = " + ".join(bits)
+        sides.append(
+            f"SELECT vec_id, embedding, "
+            f"{t} * {1 << num_planes} + ({bucket}) AS tb FROM embeddings")
+    keyed = " UNION ALL ".join(sides)
+    return f"""
+        WITH keyed AS ({keyed}),
+             cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                             a.embedding AS va, b.embedding AS vb
+                      FROM keyed a JOIN keyed b USING (tb)
+                      WHERE a.vec_id < b.vec_id),
+             scored AS (SELECT id_a, id_b,
+                               list_cosine_similarity(CAST(va AS DOUBLE[]),
+                                   CAST(vb AS DOUBLE[])) AS c
+                        FROM cand)
+        SELECT id_a, id_b, round(c, 4) AS cosine
+        FROM scored WHERE c >= 0.35
     """
 
 
@@ -2718,6 +2822,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _knn_lsh_oracle(),
         "minhash_portable": _minhash_portable_oracle(),
         "simhash_portable": _simhash_portable_oracle(),
+        "jaccard_dedup": _jaccard_dedup_oracle(),
+        "embedding_dedup": _embedding_dedup_oracle(),
         "northrule_features": _northrule_features_oracle(),
         "tokens_ascii": _tokens_ascii_oracle(),
         "tokens_en_core": _tokens_en_core_oracle(),

@@ -312,6 +312,65 @@ def test_knn_ivf_small_corpus(spark):
     assert out.count() > 0
 
 
+def test_jaccard_dup_pairs_blocking_and_threshold(spark):
+    """Exact n-gram Jaccard dedup: same-block near-dups pair with the
+    exact set-Jaccard value; identical docs in DIFFERENT blocks are
+    invisible to each other; sub-threshold and shingle-less (<n tokens)
+    docs never appear."""
+    from dagli_spark.operators.dedup import jaccard_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, base, "en"),
+        (2, base + " tonight", "en"),        # 7 shared of 8-gram union
+        (3, base, "de"),                      # identical but other block
+        (4, "completely different words entirely here now", "en"),
+        (5, "too short", "en"),               # < 3 tokens -> no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_dup_pairs(df, "text", "doc_id", n=3,
+                                      threshold=0.5,
+                                      block_col="lang").collect()}
+    # doc1 has 7 trigram shingles, doc2 has 8 (7 shared + 1 new) -> 7/8
+    assert got == {(1, 2): 7 / 8}
+    # without blocking, the cross-lang identical pair becomes visible
+    unblocked = {(r["id_a"], r["id_b"])
+                 for r in jaccard_dup_pairs(df, "text", "doc_id", n=3,
+                                            threshold=0.5).collect()}
+    assert unblocked == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_embedding_dup_pairs_matches_exact_above_threshold(spark):
+    """LSH near-dup pairs: a near-identical vector pair (same sign
+    pattern under EVERY hyperplane table) is always recalled with its
+    exact cosine; every reported pair is a true >=threshold pair with
+    id_a < id_b and no multi-table duplicates."""
+    import numpy as np
+
+    from dagli_spark.operators.similarity import embedding_dup_pairs
+
+    rng = [float(x) for x in range(1, 9)]
+    rows = [
+        (1, rng),
+        (2, [x * 1.0001 for x in rng]),       # cosine ~ 1.0
+        (3, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # orthogonal to 3
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = embedding_dup_pairs(df, dim=8, id_col="vec_id",
+                              threshold=0.95).collect()
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out}
+    assert (1, 2) in got and got[(1, 2)] > 0.999
+    V = {i: np.array(v) for i, v in rows}
+    for (a, b), c in got.items():
+        assert a < b
+        exact = float(V[a] @ V[b]
+                      / (np.linalg.norm(V[a]) * np.linalg.norm(V[b])))
+        assert abs(c - exact) < 1e-9 and exact >= 0.95
+    assert len(out) == len(got)  # dropDuplicates across tables held
+
+
 def test_mapped_iterable_payload_alignment_after_shuffle(spark):
     """Row payloads must stay aligned with their mapped arrays even when
     the source is shuffle output."""
