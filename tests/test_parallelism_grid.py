@@ -47,6 +47,9 @@ GRID = [
     "minhash_portable", "simhash_portable",
     # round-3 addition
     "phone_plan",
+    # round-5 additions: pair-set outputs must be partition-invariant
+    # (blocked quadratic join / multi-table LSH candidate dedup)
+    "jaccard_dedup", "embedding_dedup",
 ]
 
 
